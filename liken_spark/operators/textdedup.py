@@ -1,0 +1,159 @@
+"""Layer-2 text dedup operators (north-star additions; NOT in the reference —
+they come from BASELINE.json north_rule: SimHash signatures and a
+distributed suffix-array-style exact-substring pass).
+
+Both are PairsDedupers and plug into the same pipeline/CC machinery as the
+reference-parity operators, so e.g.
+
+    lk.pipeline().step(lk.col("transcript").substring(min_len=40))
+    lk.pipeline().step(lk.col("transcript").simhash(hamming=3))
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from liken_spark.constants import ROW_ID
+from liken_spark.minhash import simhash64
+from liken_spark.operators.base import Columns, PairsDeduper, register_deduper
+from liken_spark.preprocess import Preprocessor
+
+
+class SubstringSpec(PairsDeduper):
+    """Exact-substring containment: link (i, j) when one row's full text is
+    a substring of the other's and the contained text is >= ``min_len``
+    chars.
+
+    Distributed plan (the suffix-window scheme from the dedup-training-data
+    literature — Lee et al. 2021's suffix-array pass re-expressed as a
+    fixed-width window join):
+
+    1. every row emits the hash of its *prefix* window (first ``min_len``
+       chars) as a "needle" key;
+    2. every row emits hashes of *all* ``min_len``-char windows of its text
+       as "haystack" keys (O(len) per row, embarrassingly parallel);
+    3. join needle == haystack (hash join on int64 keys, salt-friendly),
+       then verify actual containment on the joined pair — no false
+       positives survive.
+
+    A needle whose text is shorter than ``min_len`` is ignored (too short
+    to assert duplication), exactly like a minimum-match-length L in a
+    suffix-array dedup.
+    """
+
+    name = "substring"
+    single_column = True
+
+    def __init__(self, min_len: int = 40, max_windows: int | None = None):
+        super().__init__(min_len=min_len)
+        self._min_len = min_len
+        self._max_windows = max_windows
+
+    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+        w = self._min_len
+        col = self.prepared_column(scope, columns, preprocessors)
+        d = scope.select(F.col(ROW_ID), col.alias("t")).where(F.length("t") >= w).persist()
+
+        needles = d.select(
+            F.col(ROW_ID).alias("ni"),
+            F.col("t").alias("ntext"),
+            F.xxhash64(F.substring("t", 1, w)).alias("key"),
+        )
+        win_idx = F.sequence(F.lit(1), F.length("t") - F.lit(w - 1))
+        if self._max_windows is not None:
+            win_idx = F.slice(win_idx, 1, self._max_windows)
+        haystacks = d.select(
+            F.col(ROW_ID).alias("hi"),
+            F.col("t").alias("htext"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(win_idx, lambda i: F.xxhash64(F.col("t").substr(i, F.lit(w))))
+                )
+            ).alias("key"),
+        )
+        pairs = (
+            needles.join(haystacks, "key")
+            .where(F.col("ni") != F.col("hi"))
+            .where(F.col("htext").contains(F.col("ntext")))
+            .select(F.col("ni").alias("src"), F.col("hi").alias("dst"))
+            .distinct()
+        )
+        return pairs
+
+
+class SimHashSpec(PairsDeduper):
+    """64-bit SimHash near-dup detection over word tokens (Charikar 2002 /
+    Manku et al. 2007). Candidates come from band collisions on ``bands``
+    equal bit-chunks (pigeonhole: hamming <= bands-1 is recall-lossless);
+    each candidate pair is then verified with bit_count(xor) <= ``hamming``
+    JVM-side."""
+
+    name = "simhash"
+    single_column = True
+
+    def __init__(self, hamming: int = 3, bands: int = 4, token_ngram: int | None = None):
+        super().__init__(hamming=hamming, bands=bands)
+        if bands < hamming + 1:
+            raise ValueError("bands must be >= hamming+1 for lossless candidate recall")
+        self._hamming = hamming
+        self._bands = bands
+        self._token_ngram = token_ngram
+
+    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+        bands, hamming, tng = self._bands, self._hamming, self._token_ngram
+
+        @F.pandas_udf("long")
+        def sim_udf(texts: pd.Series) -> pd.Series:
+            out = np.empty(len(texts), dtype=np.int64)
+            for k, text in enumerate(texts):
+                text = text or ""
+                if tng:
+                    toks = [text[i : i + tng].encode("utf-8") for i in range(len(text) - tng + 1)]
+                else:
+                    toks = [t.encode("utf-8") for t in text.split()]
+                out[k] = simhash64(toks)
+            return pd.Series(out)
+
+        col = self.prepared_column(scope, columns, preprocessors)
+        d = scope.select(F.col(ROW_ID), sim_udf(col).alias("sh")).persist()
+
+        width = 64 // bands
+        chunks = F.array(
+            *[
+                F.shiftrightunsigned(F.col("sh"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+                for i in range(bands)
+            ]
+        )
+        e = d.select(ROW_ID, "sh", F.posexplode(chunks).alias("band", "key"))
+        a, b = e.alias("a"), e.alias("b")
+        cand = (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+            .where(F.col(f"a.{ROW_ID}") < F.col(f"b.{ROW_ID}"))
+            .select(
+                F.col(f"a.{ROW_ID}").alias("src"),
+                F.col(f"b.{ROW_ID}").alias("dst"),
+                F.col("a.sh").alias("sha"),
+                F.col("b.sh").alias("shb"),
+            )
+            .distinct()
+        )
+        verified = cand.where(
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))) <= hamming
+        )
+        return verified.select("src", "dst")
+
+
+def substring(min_len: int = 40, max_windows: int | None = None) -> SubstringSpec:
+    return SubstringSpec(min_len=min_len, max_windows=max_windows)
+
+
+def simhash(hamming: int = 3, bands: int = 4, token_ngram: int | None = None) -> SimHashSpec:
+    return SimHashSpec(hamming=hamming, bands=bands, token_ngram=token_ngram)
+
+
+register_deduper("substring", substring)
+register_deduper("simhash", simhash)

@@ -1,0 +1,287 @@
+"""Deterministic synthetic audio-clip + transcript table (the north-star
+input shape from BASELINE.json input_hint):
+
+    (clip_id string, bytes binary, sr_hz int, dur_ms int, codec string,
+     transcript string)
+
+No external data, no wall clock — everything derives from (seed, clip index)
+so any row can be re-synthesized bit-exactly anywhere (that's what makes the
+per-row invariant checkable: decoded PCM must match the re-synthesized
+reference at SNR >= 30 dB, plus transcript equality).
+
+Planted duplicate structure (groups of 5 consecutive clips):
+
+    p0 base | p1 exact copy | p2 near copy (char edits) |
+    p3 containment (base embedded in longer text)       | p4 singleton
+
+so the truth clustering is {p0,p1,p2,p3} per group — exact dups exercise the
+exact/hash path, near copies the MinHash/SimHash path, containments the
+suffix/substring pass. ``truth_clusters`` is the out-of-band recall oracle.
+
+Audio: seeded sine mixtures + low noise, encoded as WAV PCM16 ("pcm_s16le")
+or raw G.711-style mu-law bytes ("mulaw"). Generation and decoding are
+vectorized numpy inside mapInPandas/pandas UDFs — no per-row Python on the
+Spark side of the boundary.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+GROUP = 5  # clips per planted group
+_SRS = (8000, 16000, 44100)
+_MU = 255.0
+
+# deterministic ~220-word vocabulary (syllable product)
+_SYL1 = ["ba", "de", "ki", "lo", "mu", "na", "po", "ra", "su", "ti", "vo", "ze"]
+_SYL2 = ["can", "dor", "fen", "gal", "hex", "jin", "kor", "lum", "mar", "nis",
+         "pel", "qua", "rix", "sol", "tan", "ur", "vex", "wol"]
+VOCAB = [a + b for a in _SYL1 for b in _SYL2][:216]
+
+
+def _rng(seed: int, *keys: int) -> np.random.Generator:
+    h = hashlib.blake2b(np.array([seed, *keys], dtype=np.int64).tobytes(), digest_size=8)
+    return np.random.default_rng(int.from_bytes(h.digest(), "little"))
+
+
+# ---------------------------------------------------------------------------
+# transcripts
+
+
+def _base_text(seed: int, group: int) -> str:
+    rng = _rng(seed, group, 0)
+    n_words = int(rng.integers(8, 30))
+    words = rng.choice(VOCAB, size=n_words)
+    return " ".join(words.tolist())
+
+
+def _near_copy(seed: int, group: int, text: str) -> str:
+    """Character substitutions at ~2% rate, never touching spaces."""
+    rng = _rng(seed, group, 1)
+    chars = list(text)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    for i in range(len(chars)):
+        if chars[i] != " " and rng.random() < 0.02:
+            chars[i] = letters[int(rng.integers(0, 26))]
+    return "".join(chars)
+
+
+def _containment(seed: int, group: int, text: str) -> str:
+    rng = _rng(seed, group, 2)
+    pre = " ".join(rng.choice(VOCAB, size=int(rng.integers(2, 6))).tolist())
+    post = " ".join(rng.choice(VOCAB, size=int(rng.integers(2, 6))).tolist())
+    return f"{pre} {text} {post}"
+
+
+def _singleton_text(seed: int, idx: int) -> str:
+    rng = _rng(seed, idx, 3)
+    n_words = int(rng.integers(8, 30))
+    return " ".join(rng.choice(VOCAB, size=n_words).tolist())
+
+
+def transcript_for(seed: int, idx: int) -> str:
+    group, pos = divmod(idx, GROUP)
+    if pos == 0:
+        return _base_text(seed, group)
+    if pos == 1:
+        return _base_text(seed, group)
+    if pos == 2:
+        return _near_copy(seed, group, _base_text(seed, group))
+    if pos == 3:
+        return _containment(seed, group, _base_text(seed, group))
+    return _singleton_text(seed, idx)
+
+
+def true_cluster_for(idx: int) -> int:
+    """Truth label: group id for planted members, own id for singletons."""
+    group, pos = divmod(idx, GROUP)
+    return group * GROUP if pos < 4 else idx
+
+
+# ---------------------------------------------------------------------------
+# audio synthesis + codecs
+
+
+def synth_pcm(seed: int, idx: int, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """float32 PCM in [-1, 1]: 3 seeded sines + light noise."""
+    rng = _rng(seed, idx, 4)
+    n = int(sr_hz * dur_ms / 1000)
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    x = np.zeros(n)
+    for _ in range(3):
+        freq = float(rng.uniform(80.0, min(3800.0, sr_hz / 2.5)))
+        amp = float(rng.uniform(0.1, 0.3))
+        phase = float(rng.uniform(0, 2 * np.pi))
+        x += amp * np.sin(2 * np.pi * freq * t + phase)
+    x += rng.normal(0.0, 0.003, size=n)
+    return np.clip(x, -1.0, 1.0).astype(np.float32)
+
+
+def params_for(seed: int, idx: int) -> tuple[int, int, str]:
+    rng = _rng(seed, idx, 5)
+    sr = _SRS[idx % len(_SRS)]
+    dur = int(rng.integers(200, 2001))
+    codec = "pcm_s16le" if idx % 2 == 0 else "mulaw"
+    return sr, dur, codec
+
+
+def wav_encode_pcm16(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """Minimal RIFF/WAVE container, 16-bit mono PCM."""
+    q = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype("<i2")
+    data = q.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def wav_decode_pcm16(raw: bytes) -> tuple[np.ndarray, int]:
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    sr = struct.unpack("<I", raw[24:28])[0]
+    size = struct.unpack("<I", raw[40:44])[0]
+    q = np.frombuffer(raw[44 : 44 + size], dtype="<i2")
+    return (q.astype(np.float32) / 32767.0), sr
+
+
+def mulaw_encode(pcm: np.ndarray) -> bytes:
+    y = np.sign(pcm) * np.log1p(_MU * np.abs(pcm)) / np.log1p(_MU)
+    q = np.clip(np.round((y + 1.0) / 2.0 * 255.0), 0, 255).astype(np.uint8)
+    return q.tobytes()
+
+
+def mulaw_decode(raw: bytes) -> np.ndarray:
+    q = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+    y = q / 255.0 * 2.0 - 1.0
+    x = np.sign(y) * ((1.0 + _MU) ** np.abs(y) - 1.0) / _MU
+    return x.astype(np.float32)
+
+
+def decode_clip(raw: bytes, codec: str) -> np.ndarray:
+    if codec == "pcm_s16le":
+        pcm, _ = wav_decode_pcm16(raw)
+        return pcm
+    if codec == "mulaw":
+        return mulaw_decode(raw)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def encode_clip(pcm: np.ndarray, codec: str, sr_hz: int) -> bytes:
+    if codec == "pcm_s16le":
+        return wav_encode_pcm16(pcm, sr_hz)
+    if codec == "mulaw":
+        return mulaw_encode(pcm)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def snr_db(ref: np.ndarray, dec: np.ndarray) -> float:
+    n = min(len(ref), len(dec))
+    ref, dec = ref[:n].astype(np.float64), dec[:n].astype(np.float64)
+    noise = float(np.sum((ref - dec) ** 2))
+    if noise == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(float(np.sum(ref**2)) / noise)
+
+
+# ---------------------------------------------------------------------------
+# table generation (distributed)
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("bytes", BinaryType(), False),
+        StructField("sr_hz", IntegerType(), False),
+        StructField("dur_ms", IntegerType(), False),
+        StructField("codec", StringType(), False),
+        StructField("transcript", StringType(), False),
+    ]
+)
+
+
+def synth_audio_table(
+    spark: SparkSession,
+    n_clips: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    with_audio: bool = True,
+) -> DataFrame:
+    """Distributed generation over spark.range — each partition synthesizes
+    its id range independently (scales linearly with executors).
+    ``with_audio=False`` skips waveform synthesis for transcript-only runs.
+    """
+    partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    base = spark.range(0, n_clips, numPartitions=partitions)
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for idx in pdf["id"].tolist():
+                sr, dur, codec = params_for(seed, idx)
+                if with_audio:
+                    pcm = synth_pcm(seed, idx, sr, dur)
+                    raw = encode_clip(pcm, codec, sr)
+                else:
+                    raw = b""
+                rows.append(
+                    (f"clip{idx:012d}", raw, sr, dur, codec, transcript_for(seed, idx))
+                )
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+            )
+
+    return base.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def truth_clusters(spark: SparkSession, n_clips: int, partitions: int | None = None) -> DataFrame:
+    """Out-of-band planted-cluster oracle: (clip_id, true_cluster)."""
+    partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    base = spark.range(0, n_clips, numPartitions=partitions)
+    pos = F.col("id") % GROUP
+    group_rep = (F.col("id") - pos).cast(LongType())
+    return base.select(
+        F.format_string("clip%012d", F.col("id")).alias("clip_id"),
+        F.when(pos < 4, group_rep).otherwise(F.col("id")).alias("true_cluster"),
+    )
+
+
+def audio_invariant(df: DataFrame, seed: int = 42, min_snr_db: float = 30.0) -> DataFrame:
+    """Per-row invariant vs the reference synthesis (BASELINE.json
+    input_hint): decode ``bytes`` -> PCM inside a vectorized UDF, SNR vs the
+    re-synthesized reference >= 30 dB, and transcript equality. Returns
+    (clip_id, snr_db, audio_ok, transcript_ok)."""
+
+    out_schema = "clip_id string, snr_db double, audio_ok boolean, transcript_ok boolean"
+
+    def check(iterator):
+        for pdf in iterator:
+            recs = []
+            for _, row in pdf.iterrows():
+                idx = int(row["clip_id"].replace("clip", ""))
+                sr, dur, codec = params_for(seed, idx)
+                dec = decode_clip(bytes(row["bytes"]), row["codec"])
+                ref = synth_pcm(seed, idx, sr, dur)
+                s = snr_db(ref, dec)
+                recs.append(
+                    (
+                        row["clip_id"],
+                        float(min(s, 1e9)),
+                        bool(s >= min_snr_db and len(dec) == len(ref)),
+                        bool(row["transcript"] == transcript_for(seed, idx)),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=["clip_id", "snr_db", "audio_ok", "transcript_ok"])
+
+    return df.select("clip_id", "bytes", "codec", "transcript").mapInPandas(check, out_schema)

@@ -147,6 +147,72 @@ class SimHashSpec(PairsDeduper):
         return verified.select("src", "dst")
 
 
+class NgramJaccardSpec(PairsDeduper):
+    """Exact n-gram Jaccard near-dup detection: per-row set of distinct char
+    n-grams, link when |∩|/|∪| > threshold. Unlike MinHash this is *exact*
+    Jaccard, computed fully distributed (explode -> shared-gram join ->
+    count = |∩|), with a doc-frequency cap to keep ubiquitous grams from
+    exploding the join (dropped grams are counted against both |∩| and |∪|
+    consistently: the cap applies to the gram vocabulary, i.e. a MinHash-
+    free variant of the standard postings-prune)."""
+
+    name = "ngram_jaccard"
+    single_column = True
+
+    def __init__(self, threshold: float = 0.8, ngram: int = 5, max_df_ratio: float = 1.0):
+        super().__init__(threshold=threshold, ngram=ngram)
+        if not (0 <= threshold < 1):
+            raise ValueError("The threshold value must be greater or equal to 0 and less than 1")
+        self._threshold = threshold
+        self._ngram = ngram
+        self._max_df_ratio = max_df_ratio
+
+    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+        n = self._ngram
+        col = self.prepared_column(scope, columns, preprocessors)
+        d = scope.select(F.col(ROW_ID).alias("i"), col.alias("t")).persist()
+        grams = d.select(
+            "i",
+            F.explode(
+                F.when(
+                    F.length("t") >= n,
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.length("t") - F.lit(n - 1)),
+                            lambda idx: F.xxhash64(F.col("t").substr(idx, F.lit(n))),
+                        )
+                    ),
+                ).otherwise(F.array())
+            ).alias("g"),
+        ).persist()
+        if self._max_df_ratio < 1.0:
+            n_docs = d.count()
+            cap = int(self._max_df_ratio * n_docs)
+            hot = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > cap)
+            grams = grams.join(F.broadcast(hot.select("g")), "g", "anti")
+        sizes = grams.groupBy("i").agg(F.count(F.lit(1)).alias("sz"))
+        a, b = grams.alias("a"), grams.alias("b")
+        inter = (
+            a.join(b, F.col("a.g") == F.col("b.g"))
+            .where(F.col("a.i") < F.col("b.i"))
+            .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sized = (
+            inter.join(sizes.withColumnRenamed("i", "ii").withColumnRenamed("sz", "sza"), F.col("i") == F.col("ii"))
+            .drop("ii")
+            .join(sizes.withColumnRenamed("i", "jj").withColumnRenamed("sz", "szb"), F.col("j") == F.col("jj"))
+            .drop("jj")
+        )
+        return sized.where(
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")) > self._threshold
+        ).select(F.col("i").alias("src"), F.col("j").alias("dst"))
+
+
+def ngram_jaccard(threshold: float = 0.8, ngram: int = 5, max_df_ratio: float = 1.0) -> NgramJaccardSpec:
+    return NgramJaccardSpec(threshold=threshold, ngram=ngram, max_df_ratio=max_df_ratio)
+
+
 def substring(min_len: int = 40, max_windows: int | None = None) -> SubstringSpec:
     return SubstringSpec(min_len=min_len, max_windows=max_windows)
 
@@ -157,3 +223,4 @@ def simhash(hamming: int = 3, bands: int = 4, token_ngram: int | None = None) ->
 
 register_deduper("substring", substring)
 register_deduper("simhash", simhash)
+register_deduper("ngram_jaccard", ngram_jaccard)

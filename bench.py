@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): headline dedup queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "clips_per_sec": ...}
+
+The audio query is the north-star workload: synthesize N audio clips
+(WAV/mu-law bytes + transcripts with planted dups), run the full
+exact + MinHash-LSH + substring dedup pipeline, and check the per-row
+decoded-PCM invariant — end-to-end clips/sec.
+
+Each query materializes via the noop sink (no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import liken_spark as lk  # noqa: E402
+from liken_spark.operators.ann import lsh_topk  # noqa: E402
+from liken_spark.functions.text import with_text_stats  # noqa: E402
+from liken_spark.sources import audio  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "20000"))
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    spark = lk.get_spark(
+        app_name="liken-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    docs.count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    emb.count()
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # exact dedup of a wide table on a string key (bucket fast path, 1 shuffle)
+    bench(
+        "exact_events_props",
+        lambda: materialize(
+            lk.dedupe(events).apply({"props": lk.exact()}).canonicalize().collect()
+        ),
+    )
+    # MinHash-LSH near-dup clustering of documents
+    bench(
+        "lsh_documents",
+        lambda: materialize(
+            lk.dedupe(docs)
+            .apply({"text": lk.lsh(threshold=0.8, ngram=3, num_perm=128)})
+            .canonicalize(id="doc_id")
+            .collect()
+        ),
+    )
+    # SimHash near-dup clustering
+    bench(
+        "simhash_documents",
+        lambda: materialize(
+            lk.dedupe(docs)
+            .apply({"text": lk.simhash(hamming=3, bands=4)})
+            .canonicalize(id="doc_id")
+            .collect()
+        ),
+    )
+    # suffix-window exact-substring pass
+    bench(
+        "substring_documents",
+        lambda: materialize(
+            lk.dedupe(docs)
+            .apply({"text": lk.substring(min_len=50)})
+            .canonicalize(id="doc_id")
+            .collect()
+        ),
+    )
+    # text-analysis sweep (token counts, quality, langid, fingerprints)
+    bench("text_stats_documents", lambda: materialize(with_text_stats(docs)))
+    # ANN top-k over embeddings (sign-LSH + exact rerank)
+    bench("ann_lsh_topk", lambda: materialize(lsh_topk(emb, k=5)))
+
+    # north-star: audio clips end-to-end (synthesize -> dedup pipeline ->
+    # decoded-PCM invariant)
+    t0 = time.perf_counter()
+    clips = audio.synth_audio_table(spark, N_CLIPS, seed=42).persist()
+    clips.count()
+    pipe = (
+        lk.pipeline()
+        .step(lk.col("transcript").exact())
+        .step(lk.col("transcript").lsh(threshold=0.7, ngram=3, num_perm=128))
+        .step(lk.col("transcript").substring(min_len=30))
+    )
+    materialize(lk.dedupe(clips).apply(pipe).canonicalize().collect())
+    bad = (
+        audio.audio_invariant(clips, seed=42)
+        .where("NOT audio_ok OR NOT transcript_ok")
+        .count()
+    )
+    audio_sec = time.perf_counter() - t0
+    timings["audio_pipeline"] = round(audio_sec, 3)
+    clips.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "n_clips": N_CLIPS,
+                "clips_per_sec": round(N_CLIPS / audio_sec, 1),
+                "audio_invariant_failures": bad,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -65,11 +65,29 @@ class Dedupe:
             self._collection.apply(exact())
         steps = self._collection.compile(columns)
 
-        df = with_row_id(self._df)
-        df = init_canonical(df, id)
-        df = run_steps(df, steps, keep)
+        full = with_row_id(self._df)
+        full = init_canonical(full, id)
+
+        # Dedup on a NARROW projection: only ROW_ID + canonical + the
+        # columns any deduper touches. Wide payloads (e.g. binary audio
+        # bytes) are never shuffled through the canonicalize windows/joins —
+        # they rejoin exactly once at the end. At 100TB this is the
+        # difference between shuffling kilobyte payloads per row per step
+        # and shuffling two longs.
+        needed: list[str] = []
+        for step in steps:
+            for unit in step:
+                cols = [unit.columns] if isinstance(unit.columns, str) else list(unit.columns)
+                for c in cols:
+                    if c not in needed and c in full.columns:
+                        needed.append(c)
+        narrow = full.select(ROW_ID, CANONICAL_ID, *needed)
+        narrow = run_steps(narrow, steps, keep)
         if drop_duplicates:
-            df = drop_duplicates_by_canonical(df, keep)
+            narrow = drop_duplicates_by_canonical(narrow, keep)
+        canon_map = narrow.select(ROW_ID, CANONICAL_ID)
+
+        df = full.drop(CANONICAL_ID).join(canon_map, ROW_ID)
         if drop_canonical_id:
             df = df.drop(CANONICAL_ID)
         # restore input row order (reference backends preserve it)

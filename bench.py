@@ -102,16 +102,17 @@ def main() -> None:
 
     # north-star: audio clips end-to-end (synthesize -> dedup pipeline ->
     # decoded-PCM invariant)
+    from liken_spark.jobs import dedup_corpus
+
     t0 = time.perf_counter()
     clips = audio.synth_audio_table(spark, N_CLIPS, seed=42).persist()
     clips.count()
-    pipe = (
-        lk.pipeline()
-        .step(lk.col("transcript").exact())
-        .step(lk.col("transcript").lsh(threshold=0.7, ngram=3, num_perm=128))
-        .step(lk.col("transcript").substring(min_len=30))
+    materialize(
+        dedup_corpus(
+            clips, text_col="transcript", id_col="clip_id",
+            lsh_threshold=0.7, lsh_ngram=3, num_perm=128, substring_min_len=30,
+        )
     )
-    materialize(lk.dedupe(clips).apply(pipe).canonicalize().collect())
     bad = (
         audio.audio_invariant(clips, seed=42)
         .where("NOT audio_ok OR NOT transcript_ok")

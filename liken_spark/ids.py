@@ -17,49 +17,73 @@ row order is only consulted for keep semantics.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType
+from pyspark.storagelevel import StorageLevel
 
-from liken_spark.constants import CANONICAL_ID, ROW_ID
+from liken_spark.constants import CANONICAL_ID, ROW_ID, TMP_PREFIX
+
+_MID = TMP_PREFIX + "mid"
+_PID = TMP_PREFIX + "pid"
 
 
-def with_row_id(df: DataFrame, col_name: str = ROW_ID) -> DataFrame:
+def with_row_id(df: DataFrame, col_name: str = ROW_ID, materialize: bool = True) -> DataFrame:
     """Attach a deterministic, contiguous, 0-based global row index.
 
-    Ordering matches the DataFrame's partition order (same notion of "row
-    order" as the reference's zipWithIndex). The input is persisted so the
-    two passes observe identical partitioning.
+    Pure-expression construction — NO Python UDF, NO shuffle, and column
+    pruning survives (a narrow projection of the result never touches wide
+    payload columns):
+
+    - ``monotonically_increasing_id`` encodes (partition_id << 33) + local
+      position, so ``mid - (pid << 33)`` is the 0-based position within
+      the partition;
+    - one tiny aggregate learns per-partition counts, whose running sum
+      gives each partition's global offset;
+    - row_id = offset[pid] + local position.
+
+    With ``materialize=True`` (default) the frame is persisted
+    (memory-and-disk) and materialized by the count pass, freezing the
+    nondeterministic mid/pid values so every downstream subquery observes
+    identical row ids even over nondeterministically-ordered inputs
+    (post-shuffle frames). For FILE-BACKED sources (parquet/Iceberg scans —
+    deterministic splits and row order) pass ``materialize=False``: no
+    cache, and narrow projections of the result keep full column pruning
+    (a dedup over a table with huge payload columns then only ever scans
+    the text column). Ordering matches partition order — the reference's
+    zipWithIndex notion (backends/pyspark/wrapper.py:121). At 10^12-row
+    scale prefer a source key via ``id=`` (SURVEY.md §7.3).
     """
     if col_name in df.columns:
         return df
 
-    df = df.persist()
-    counts = df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    base = df.withColumn(_MID, F.monotonically_increasing_id()).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    if materialize:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = base.groupBy(_PID).count().collect()
+
     offsets: dict[int, int] = {}
     acc = 0
-    for row in sorted(counts, key=lambda r: r["pid"]):
-        offsets[row["pid"]] = acc
+    for row in sorted(counts, key=lambda r: r[_PID]):
+        offsets[row[_PID]] = acc
         acc += row["count"]
 
-    spark = df.sparkSession
-    b_offsets = spark.sparkContext.broadcast(offsets)
-    out_schema = StructType(df.schema.fields + [StructField(col_name, LongType(), False)])
-
-    def attach(iterator):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        seen = 0
-        base = b_offsets.value.get(pid, 0)
-        for pdf in iterator:
-            n = len(pdf)
-            pdf = pdf.copy()
-            pdf[col_name] = np.arange(seen, seen + n, dtype=np.int64) + base
-            seen += n
-            yield pdf
-
-    return df.mapInPandas(attach, schema=out_schema)
+    local_pos = F.col(_MID) - F.shiftleft(F.col(_PID).cast(LongType()), 33)
+    n_parts = (max(offsets) + 1) if offsets else 0
+    if n_parts <= 4096:
+        offset_arr = F.array(*[F.lit(int(offsets.get(p, 0))) for p in range(n_parts)])
+        offset_expr = F.element_at(offset_arr, F.col(_PID) + 1)
+        out = base.withColumn(col_name, (offset_expr + local_pos).cast(LongType()))
+    else:  # huge partition counts: broadcast-join the offset table
+        spark = df.sparkSession
+        omap = spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], f"{_PID} int, {TMP_PREFIX}off long"
+        )
+        out = base.join(F.broadcast(omap), _PID).withColumn(
+            col_name, (F.col(TMP_PREFIX + "off") + local_pos).cast(LongType())
+        ).drop(TMP_PREFIX + "off")
+    return out.drop(_MID, _PID)
 
 
 def init_canonical(df: DataFrame, id: str | None) -> DataFrame:

@@ -1,0 +1,91 @@
+"""The north-star job: full audio-corpus dedup as one staged Spark plan.
+
+Unlike the reference-parity pipeline API (which *chains* dedupers,
+rewriting canonical_id between steps — the reference's sequential
+semantics, executor.py:89-101), this job unions the candidate pairs of all
+three passes (exact, MinHash-LSH, suffix-window substring) and runs ONE
+connected-components pass. That is both cheaper (one CC, one canonical
+join, no intermediate windows) and transitively complete: a~b via LSH and
+b~c via substring land in one cluster even when no single pass links them.
+
+Optionally checkpointed per stage (see sources/checkpoint.py) for
+mid-run resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from liken_spark.constants import CANONICAL_ID, ROW_ID
+from liken_spark.ids import with_row_id
+from liken_spark.operators.cc import connected_components
+from liken_spark.operators.dedupers import LshSpec
+from liken_spark.operators.executor import _apply_comp_df
+from liken_spark.operators.textdedup import SubstringSpec
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "transcript",
+    id_col: str = "clip_id",
+    lsh_threshold: float = 0.7,
+    lsh_ngram: int = 3,
+    num_perm: int = 128,
+    substring_min_len: int = 30,
+    use_exact: bool = True,
+    use_lsh: bool = True,
+    use_substring: bool = True,
+    deterministic_source: bool = True,
+) -> DataFrame:
+    """df + canonical_id (first-seen id per near-dup cluster). The payload
+    columns never enter the pair/CC shuffles — only (row_id, text) does.
+
+    ``deterministic_source=True`` (file/Iceberg-backed input, the
+    north-star contract) skips row-id materialization entirely: pair
+    generation reads ONLY the pruned text column from the scan; the
+    payload is scanned once, for the final canonical join. Pass False for
+    arbitrarily-shuffled in-memory inputs."""
+    base = with_row_id(df, materialize=not deterministic_source)
+    narrow = base.select(ROW_ID, text_col).persist()
+
+    pair_sets = []
+    if use_exact:
+        roots = (
+            narrow.groupBy(text_col)
+            .agg(F.min(ROW_ID).alias("src"), F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+        )
+        pair_sets.append(
+            narrow.join(roots, text_col)
+            .where(F.col(ROW_ID) != F.col("src"))
+            .select("src", F.col(ROW_ID).alias("dst"))
+        )
+    if use_lsh:
+        pair_sets.append(
+            LshSpec(threshold=lsh_threshold, ngram=lsh_ngram, num_perm=num_perm).gen_pairs(
+                narrow, text_col, []
+            )
+        )
+    if use_substring:
+        pair_sets.append(
+            SubstringSpec(min_len=substring_min_len).gen_pairs(narrow, text_col, [])
+        )
+
+    pairs = pair_sets[0]
+    for p in pair_sets[1:]:
+        pairs = pairs.union(p)
+
+    comps = connected_components(pairs)
+    # canonical assignment on the NARROW (row_id, id) frame; the cluster
+    # map (one row per corpus row, two small values) joins back onto the
+    # payload columns. Below ~20M rows we force a broadcast so the wide
+    # payload never shuffles at all; beyond that the planner shuffles both
+    # sides — one payload shuffle total, the unavoidable floor.
+    ids = base.select(ROW_ID, F.col(id_col)).withColumn(CANONICAL_ID, F.col(id_col))
+    canon_map = _apply_comp_df(ids, comps, keep="first").select(ROW_ID, CANONICAL_ID)
+    n_rows = narrow.count()
+    if n_rows <= 20_000_000:
+        canon_map = F.broadcast(canon_map)
+    out = base.join(canon_map, ROW_ID)
+    narrow.unpersist()
+    return out.drop(ROW_ID)

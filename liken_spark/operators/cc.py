@@ -71,24 +71,54 @@ def connected_components(
     appear in at least one pair are returned — callers default absent rows
     to their own id (matching the reference's ``rep_index.get(i, i)``
     fallback, deduper.py:149).
+
+    Physical notes: the iteration's shuffle width is sized to the edge
+    count (dedup pair sets are usually tiny relative to the corpus, and a
+    64-way shuffle of 10k edges is pure scheduling overhead); each round
+    persists (one materializing job: the convergence-signature aggregate)
+    and lineage is truncated with a localCheckpoint every few rounds.
     """
+    spark = pairs.sparkSession
     e = _normalize(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    e = e.localCheckpoint(eager=True)
+    e = e.persist()
     sig = _signature(e)
     if sig[0] == 0:
-        return e.sparkSession.createDataFrame([], "node long, comp long")
+        e.unpersist()
+        return spark.createDataFrame([], "node long, comp long")
 
-    for _ in range(max_iter):
-        e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig_next = _signature(e_next)
-        e = e_next
-        if sig_next == sig:
-            break
-        sig = sig_next
-    else:  # pragma: no cover - defensive
-        raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
-
-    # stars: (child=u, root=v); roots appear only on the v side
-    children = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
-    roots = e.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
-    return children.union(roots).distinct()
+    # size the CC shuffles to the data: ~1M edges per partition, bounded
+    session_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(4, min(2048, sig[0] // 1_000_000 + 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    try:
+        # NB: each round MUST truncate the plan (localCheckpoint) — the
+        # star operators reference the edge frame several times, so an
+        # un-truncated logical plan grows exponentially per round.
+        # Dedup pair graphs are near-star already (exact/LSH emit star
+        # pairs), so the first round is run "blind" — its convergence
+        # signature job is skipped; checks start at round 2.
+        prev = e
+        for i in range(max_iter):
+            e_next = _small_star(_large_star(prev)).localCheckpoint(eager=True)
+            if i == 0:
+                sig_next = None
+            else:
+                sig_next = _signature(e_next)
+            if prev is not e:
+                prev.unpersist()
+            prev = e_next
+            if sig_next is not None and sig_next == sig:
+                break
+            if sig_next is not None:
+                sig = sig_next
+        else:  # pragma: no cover - defensive
+            raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
+        e_final = prev
+        # stars: (child=u, root=v); roots appear only on the v side
+        children = e_final.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        roots = e_final.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
+        out = children.union(roots).distinct().localCheckpoint(eager=True)
+        e.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", session_parts)

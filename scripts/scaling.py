@@ -102,8 +102,11 @@ def orchestrate() -> None:
     # prep in a subprocess: its JVM must be gone before any measured run
     if not os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")):
         subprocess.run([sys.executable, __file__, "--prep"], cwd=str(REPO), check=True)
+    pair = tuple(
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
+    )
     results = {}
-    for cpus in (8, 32):
+    for cpus in pair:
         proc = subprocess.run(
             [sys.executable, __file__, "--cpus", str(cpus)],
             capture_output=True, text=True, cwd=str(REPO),
@@ -111,14 +114,15 @@ def orchestrate() -> None:
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
         print(line)
-    t8, t32 = results[8]["sec"], results[32]["sec"]
-    eff = round((t8 / t32) / 4.0, 3)
+    n_small, n_big = pair
+    t8, t32 = results[n_small]["sec"], results[n_big]["sec"]
+    eff = round((t8 / t32) / (n_big / n_small), 3)
     report = f"""# BENCH — measured performance + scaling evidence
 
-## Scaling: identical job at two parallelism levels (N=8 vs 4N=32 cores)
+## Scaling: identical job at two parallelism levels (N={n_small} vs 4N={n_big} cores)
 
 North-rule criterion: throughput scaling efficiency >= 0.8 between N and 4N
-executors; sandbox proxy = same job, same input, local[8] vs local[32],
+executors; sandbox proxy = same job, same input, local[{n_small}] vs local[{n_big}],
 fresh JVM each (driver instruction / BASELINE.md).
 
 Workload: read a pre-materialized {N_CLIPS}-clip audio+transcript parquet
@@ -136,10 +140,10 @@ measures at 10^12 clips).
 
 | cores | wall sec | clips/sec | invariant failures |
 | --- | --- | --- | --- |
-| 8  | {t8} | {results[8]['clips_per_sec']} | {results[8]['invariant_failures']} |
-| 32 | {t32} | {results[32]['clips_per_sec']} | {results[32]['invariant_failures']} |
+| {n_small}  | {t8} | {results[n_small]['clips_per_sec']} | {results[n_small]['invariant_failures']} |
+| {n_big} | {t32} | {results[n_big]['clips_per_sec']} | {results[n_big]['invariant_failures']} |
 
-**Scaling efficiency (T_8 / T_32) / 4 = {eff}** (target >= 0.8)
+**Scaling efficiency (T_N / T_4N) / 4 = {eff}** (target >= 0.8)
 
 ## Headline suite (bench.py, sf0.1, local[32])
 

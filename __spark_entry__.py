@@ -184,6 +184,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = lambda s, d: lsh_topk(_emb(s, d), k=3, n_planes=16, bands=4).select(
         F.col("vec_id").cast("long"), F.col("neighbor_id").cast("long"), F.col("rank").cast("long")
     )
+    # fuzzy: exact rapidfuzz-ratio semantics within source blocks (20
+    # blocks of ~25 docs — the documented O(n^2)-per-block scale contract)
+    q["fuzzy_dedup"] = lambda s, d: _canon(
+        _docs(s, d), lk.fuzzy(threshold=0.8, block_by="source")
+    )
+    # jaccard over compound categorical columns
+    q["jaccard_dedup"] = lambda s, d: _canon(
+        _docs(s, d), lk.jaccard(threshold=0.3), columns=("lang", "source")
+    )
+
+    # cosine over numeric compound columns (lineitem slice keeps the exact
+    # O(n^2) block tractable)
+    def cosine_dedup(s, d):
+        ensure_on_workers(s)
+        li = s.read.parquet(f"{d}/lineitem.parquet").where(F.col("l_orderkey") < 400)
+        cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        out = lk.dedupe(li).apply({cols: lk.cosine(threshold=0.999999)}).canonicalize().collect()
+        return out.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(CANONICAL_ID).cast("long").alias("n_clusters"),
+        )
+
+    q["cosine_dedup_lineitem"] = cosine_dedup
 
     return q
 

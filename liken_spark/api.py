@@ -78,6 +78,7 @@ class Dedupe:
         for step in steps:
             for unit in step:
                 cols = [unit.columns] if isinstance(unit.columns, str) else list(unit.columns)
+                cols += unit.spec.extra_columns()
                 for c in cols:
                     if c not in needed and c in full.columns:
                         needed.append(c)

@@ -58,6 +58,12 @@ class DeduperSpec:
         if self.single_column is False and not isinstance(columns, tuple):
             raise ValueError("For compound columns dedupers, `columns` must be defined as a tuple")
 
+    def extra_columns(self) -> list[str]:
+        """Additional input columns this spec reads beyond ``columns``
+        (e.g. a blocking key) — kept by the executor's narrow projection."""
+        block_by = getattr(self, "_block_by", None)
+        return [block_by] if block_by else []
+
     # -- display ----------------------------------------------------------
     def __repr__(self) -> str:
         kw = ", ".join(f"{k}={v!r}" for k, v in self._display_kwargs.items())

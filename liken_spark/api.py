@@ -33,7 +33,15 @@ from liken_spark.plans.pipeline import (
 
 
 class Dedupe:
-    def __init__(self, df: DataFrame, /, *, spark_session: SparkSession | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        /,
+        *,
+        spark_session: SparkSession | None = None,
+        collect_ordered: bool = True,
+        broadcast_threshold: int = 20_000_000,
+    ):
         if not isinstance(df, DataFrame):
             raise ValueError(
                 f"Invalid arg: df must be a pyspark.sql.DataFrame, got {type(df).__name__}"
@@ -41,6 +49,13 @@ class Dedupe:
         self._df = df
         self._collection = CollectionsManager()
         self.has_been_canonicalized = False
+        # collect_ordered=False is the scale path: skips the global
+        # input-order sort of the output (a full-data sort at 100x scale
+        # purely to restore cosmetic row order) and force-broadcasts the
+        # canonical map under ``broadcast_threshold`` rows so the wide
+        # payload never shuffles (the jobs.dedup_corpus behavior).
+        self._collect_ordered = collect_ordered
+        self._broadcast_threshold = broadcast_threshold
 
     # -- collection management -------------------------------------------
     def apply(self, deduper) -> "Dedupe":
@@ -88,11 +103,20 @@ class Dedupe:
             narrow = drop_duplicates_by_canonical(narrow, keep)
         canon_map = narrow.select(ROW_ID, CANONICAL_ID)
 
+        if not self._collect_ordered:
+            # scale path: materialize the (row_id, canonical) map once and
+            # broadcast it when it fits, so the payload never shuffles; skip
+            # the cosmetic input-order sort entirely.
+            canon_map = canon_map.localCheckpoint(eager=True)
+            if canon_map.count() <= self._broadcast_threshold:
+                canon_map = F.broadcast(canon_map)
         df = full.drop(CANONICAL_ID).join(canon_map, ROW_ID)
         if drop_canonical_id:
             df = df.drop(CANONICAL_ID)
-        # restore input row order (reference backends preserve it)
-        df = df.orderBy(ROW_ID).drop(ROW_ID)
+        if self._collect_ordered:
+            # restore input row order (reference backends preserve it)
+            df = df.orderBy(ROW_ID)
+        df = df.drop(ROW_ID)
         self._collection.reset()
         return df
 
@@ -135,5 +159,17 @@ class Dedupe:
         return synthesize_records(df)
 
 
-def dedupe(df: DataFrame, /, *, spark_session: SparkSession | None = None) -> Dedupe:
-    return Dedupe(df, spark_session=spark_session)
+def dedupe(
+    df: DataFrame,
+    /,
+    *,
+    spark_session: SparkSession | None = None,
+    collect_ordered: bool = True,
+    broadcast_threshold: int = 20_000_000,
+) -> Dedupe:
+    return Dedupe(
+        df,
+        spark_session=spark_session,
+        collect_ordered=collect_ordered,
+        broadcast_threshold=broadcast_threshold,
+    )

@@ -116,6 +116,40 @@ def qratio(s1: str, s2: str) -> float:
     return ratio(s1, s2)
 
 
+def _levenshtein(s1: str, s2: str) -> int:
+    """Unit-cost edit distance (insert/delete/substitute all cost 1),
+    numpy row-DP — bit-compatible with SQL ``levenshtein()`` (DuckDB /
+    Spark ``F.levenshtein``), which is what makes ``lev_ratio`` the one
+    scorer a SQL oracle can recompute exactly."""
+    if not s1:
+        return len(s2)
+    if not s2:
+        return len(s1)
+    a = np.frombuffer(s1.encode("utf-32-le"), dtype=np.uint32)
+    b = np.frombuffer(s2.encode("utf-32-le"), dtype=np.uint32)
+    n = b.size
+    idx = np.arange(n + 1, dtype=np.int32)
+    prev = idx.copy()
+    for i, ch in enumerate(a, start=1):
+        # candidate row before intra-row deletions: boundary + sub/ins mins
+        c0 = np.empty(n + 1, dtype=np.int32)
+        c0[0] = i
+        c0[1:] = np.minimum(prev[:-1] + (b != ch), prev[1:] + 1)
+        # deletions (cur[j-1] + 1 chains) = min over k<=j of c0[k] + (j - k):
+        # running min of (c0 - j), re-add j
+        prev = np.minimum.accumulate(c0 - idx) + idx
+    return int(prev[-1])
+
+
+def lev_ratio(s1: str, s2: str) -> float:
+    """Normalized Levenshtein similarity: 100 * (1 - lev / max(len1, len2)).
+    SQL-oracle-recomputable (levenshtein() is built into DuckDB and Spark)."""
+    m = max(len(s1), len(s2))
+    if m == 0:
+        return 100.0
+    return 100.0 * (1.0 - _levenshtein(s1, s2) / m)
+
+
 def wratio(s1: str, s2: str) -> float:
     """rapidfuzz fuzz.WRatio (published weighting scheme)."""
     l1, l2 = len(s1), len(s2)
@@ -141,6 +175,7 @@ SCORERS = {
     "token_set_ratio": token_set_ratio,
     "weighted_ratio": wratio,
     "quick_ratio": qratio,
+    "lev_ratio": lev_ratio,
 }
 
 

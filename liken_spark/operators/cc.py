@@ -10,11 +10,45 @@ of pure DataFrame joins/aggregations, each round localCheckpoint'ed to
 truncate lineage. Component labels converge to the minimum ROW_ID of each
 component — precisely the representative the reference's keep="first"
 semantics needs (deduper.py:139-143).
+
+Physical notes:
+
+- No session-global config is mutated: shuffle sizing is left to AQE
+  (enabled by ``get_spark``; coalesces the per-round aggregations to the
+  edge-set size at runtime), so concurrent queries on the session are
+  unaffected.
+- Convergence is detected by an order-independent edge-set signature
+  (count + bit_xor of edge hashes). Dedup pair graphs are near-star
+  already (exact/LSH emit star pairs), so the signature job is run only
+  every OTHER round: each skipped check saves one full materializing job,
+  and the worst case is one extra (cheap, already-converged) round.
+- Each round's frame is localCheckpoint'ed NON-eagerly: the returned plan
+  is a LogicalRDD either way (analysis-time plan growth is truncated), and
+  the actual materialization piggybacks on the next signature job instead
+  of paying a dedicated job per round.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+# Persisted intermediates registered by pair generators; released once CC
+# has eagerly materialized its output (single-session assumption, like the
+# rest of the engine).
+_SCOPED_PERSISTS: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """Persist an intermediate whose lifetime ends when the consuming CC
+    pass materializes. ``connected_components`` releases these."""
+    df.persist()
+    _SCOPED_PERSISTS.append(df)
+    return df
+
+
+def release_scoped_persists() -> None:
+    while _SCOPED_PERSISTS:
+        _SCOPED_PERSISTS.pop().unpersist()
 
 
 def _normalize(e: DataFrame) -> DataFrame:
@@ -71,12 +105,6 @@ def connected_components(
     appear in at least one pair are returned — callers default absent rows
     to their own id (matching the reference's ``rep_index.get(i, i)``
     fallback, deduper.py:149).
-
-    Physical notes: the iteration's shuffle width is sized to the edge
-    count (dedup pair sets are usually tiny relative to the corpus, and a
-    64-way shuffle of 10k edges is pure scheduling overhead); each round
-    persists (one materializing job: the convergence-signature aggregate)
-    and lineage is truncated with a localCheckpoint every few rounds.
     """
     spark = pairs.sparkSession
     e = _normalize(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
@@ -84,41 +112,35 @@ def connected_components(
     sig = _signature(e)
     if sig[0] == 0:
         e.unpersist()
+        release_scoped_persists()
         return spark.createDataFrame([], "node long, comp long")
 
-    # size the CC shuffles to the data: ~1M edges per partition, bounded
-    session_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    cc_parts = max(4, min(2048, sig[0] // 1_000_000 + 4))
-    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
-    try:
-        # NB: each round MUST truncate the plan (localCheckpoint) — the
-        # star operators reference the edge frame several times, so an
-        # un-truncated logical plan grows exponentially per round.
-        # Dedup pair graphs are near-star already (exact/LSH emit star
-        # pairs), so the first round is run "blind" — its convergence
-        # signature job is skipped; checks start at round 2.
-        prev = e
-        for i in range(max_iter):
-            e_next = _small_star(_large_star(prev)).localCheckpoint(eager=True)
-            if i == 0:
-                sig_next = None
-            else:
-                sig_next = _signature(e_next)
-            if prev is not e:
-                prev.unpersist()
-            prev = e_next
-            if sig_next is not None and sig_next == sig:
-                break
-            if sig_next is not None:
-                sig = sig_next
-        else:  # pragma: no cover - defensive
-            raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
-        e_final = prev
-        # stars: (child=u, root=v); roots appear only on the v side
-        children = e_final.select(F.col("u").alias("node"), F.col("v").alias("comp"))
-        roots = e_final.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
-        out = children.union(roots).distinct().localCheckpoint(eager=True)
-        e.unpersist()
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", session_parts)
+    # NB: each round MUST truncate the plan (localCheckpoint) — the star
+    # operators reference the edge frame several times, so an un-truncated
+    # logical plan grows exponentially per round.
+    prev = e
+    kept: list[DataFrame] = []
+    for i in range(max_iter):
+        e_next = _small_star(_large_star(prev)).localCheckpoint(eager=False)
+        kept.append(e_next)
+        # signature every other round: each check is a full materializing
+        # job; skipping alternate rounds halves the job count at the cost
+        # of at most one extra round on an already-converged edge set.
+        sig_next = _signature(e_next) if i % 2 == 1 or i == max_iter - 1 else None
+        prev = e_next
+        if sig_next is not None and sig_next == sig:
+            break
+        if sig_next is not None:
+            sig = sig_next
+    else:  # pragma: no cover - defensive
+        raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
+    e_final = prev
+    # stars: (child=u, root=v); roots appear only on the v side
+    children = e_final.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = e_final.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
+    out = children.union(roots).distinct().localCheckpoint(eager=True)
+    e.unpersist()
+    for k in kept:
+        k.unpersist()
+    release_scoped_persists()
+    return out

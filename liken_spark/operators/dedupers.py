@@ -36,6 +36,7 @@ from liken_spark.minhash import (
     optimal_param,
     sha1_hash32_batch,
 )
+from liken_spark.operators.cc import scoped_persist
 from liken_spark.operators.base import (
     BucketDeduper,
     Columns,
@@ -120,6 +121,9 @@ class IsInSpec(PredicateSpec):
     single_column = True
 
     def __init__(self, values: Iterable):
+        # materialize up front: a generator would be silently exhausted after
+        # the first mask_column evaluation (deduper reuse across steps)
+        values = values if isinstance(values, str) else list(values)
         super().__init__(values=values)
         self._values = values
 
@@ -258,9 +262,13 @@ class LshSpec(ThresholdMixin, PairsDeduper):
         d = scope.select(F.col(ROW_ID), F.posexplode(bands_udf(col)).alias("band", "key"))
 
         # two-level salted star aggregation: local min per (band, key, salt),
-        # then global min per (band, key); pairs bridge members -> local
-        # roots -> global root.  All joins are co-partitioned on their
-        # aggregation keys.
+        # then global min per (band, key). Edges bridge members -> local
+        # roots (within the salted sub-group) and local roots -> global root
+        # (across sub-groups); CC merges them into one cluster. This is what
+        # makes the salt load-bearing at scale: the exploded band frame only
+        # ever joins on the SALTED key (a hot bucket of B rows shuffles in
+        # ``salt`` slices of ~B/salt), and the unsalted (band, key) join only
+        # touches the tiny per-sub-group root frame.
         d = d.withColumn("slt", F.pmod(F.col(ROW_ID), F.lit(self._salt)))
         local = d.groupBy("band", "key", "slt").agg(
             F.min(ROW_ID).alias("lroot"), F.count(F.lit(1)).alias("lc")
@@ -269,13 +277,17 @@ class LshSpec(ThresholdMixin, PairsDeduper):
             F.min("lroot").alias("groot"),
             F.sum("lc").alias("c"),
         ).where(F.col("c") > 1)
-        member_pairs = (
-            d.join(local, ["band", "key", "slt"])
-            .join(glob.select("band", "key", "groot"), ["band", "key"])
-            .where(F.col(ROW_ID) != F.col("groot"))
-            .select(F.col("groot").alias("src"), F.col(ROW_ID).alias("dst"))
+        member_edges = (
+            d.join(local.where(F.col("lc") > 1).drop("lc"), ["band", "key", "slt"])
+            .where(F.col(ROW_ID) != F.col("lroot"))
+            .select(F.col("lroot").alias("src"), F.col(ROW_ID).alias("dst"))
         )
-        return member_pairs.distinct()
+        root_edges = (
+            local.join(glob.select("band", "key", "groot"), ["band", "key"])
+            .where(F.col("lroot") != F.col("groot"))
+            .select(F.col("groot").alias("src"), F.col("lroot").alias("dst"))
+        )
+        return member_edges.union(root_edges).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -323,7 +335,7 @@ class TfidfSpec(ThresholdMixin, PairsDeduper):
         col = self.prepared_column(scope, columns, preprocessors)
         # sklearn char analyzer: lowercase + collapse runs of whitespace
         t = F.lower(F.regexp_replace(col, r"\s\s+", " "))
-        d = scope.select(F.col(ROW_ID).alias("i"), t.alias("t")).persist()
+        d = scoped_persist(scope.select(F.col(ROW_ID).alias("i"), t.alias("t")))
         n_docs = d.count()
 
         def _gram_expr(n: int):
@@ -355,10 +367,9 @@ class TfidfSpec(ThresholdMixin, PairsDeduper):
 
         w = tf.join(idf, "term").withColumn("w", F.col("tf") * F.col("idf"))
         norms = w.groupBy("i").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        postings = (
+        postings = scoped_persist(
             w.join(norms, "i")
             .select("i", "term", (F.col("w") / F.col("nrm")).alias("wn"))
-            .persist()
         )
 
         a, b = postings.alias("a"), postings.alias("b")
@@ -390,15 +401,41 @@ class TfidfSpec(ThresholdMixin, PairsDeduper):
 # block-scoped pairwise dedupers (fuzzy / cosine / custom)
 
 
+# rows above which a global (un-blocked) pairwise deduper refuses to run:
+# one applyInPandas task doing O(n^2) python DP is a cluster-killer, and the
+# failure mode is silent (a job that never finishes). Reference parity only
+# requires the *semantics* of a global block, which small inputs exercise.
+MAX_GLOBAL_BLOCK_ROWS = 50_000
+
+
+class GlobalBlockTooLargeError(RuntimeError):
+    pass
+
+
 def _block_pairs(
     scope: DataFrame,
     value_cols: list[Column],
     block_by: str | None,
     kernel: Callable[[pd.DataFrame], "list[tuple[int, int]]"],
+    op_name: str = "pairwise",
+    max_global_rows: int = MAX_GLOBAL_BLOCK_ROWS,
 ) -> DataFrame:
     """Shared applyInPandas harness: group rows into blocks, sort each block
     by ROW_ID (the reference's row-order pair indexing), run a vectorized
-    kernel producing local (i, j) index pairs, emit (src, dst) ROW_IDs."""
+    kernel producing local (i, j) index pairs, emit (src, dst) ROW_IDs.
+
+    Without ``block_by`` the whole dataset lands in ONE task running an
+    O(n^2) kernel; above ``max_global_rows`` rows this raises instead of
+    hanging the cluster (pass ``block_by=...`` or ``prefilter=lk.lsh(...)``)."""
+    if block_by is None:
+        n = scope.count()
+        if n > max_global_rows:
+            raise GlobalBlockTooLargeError(
+                f"{op_name}: {n} rows with no block_by would run an O(n^2) "
+                f"kernel in a single task (limit {max_global_rows}). Pass "
+                f"block_by=<column> to scope comparisons, or prefilter="
+                f"lk.lsh(...) to generate candidates at scale."
+            )
     d = scope.select(
         F.col(ROW_ID),
         PairsDeduper._block_expr(block_by).alias("blk"),
@@ -420,23 +457,45 @@ def _block_pairs(
 class FuzzySpec(ThresholdMixin, PairsDeduper):
     """rapidfuzz-style fuzzy matching over all pairs within a block
     (fuzzy.py:21-83; strict ``score > 100*threshold``). Default block is
-    global — exact reference parity, O(n^2) in the block; pass ``block_by``
-    (or prefilter with lsh) at scale."""
+    global — exact reference parity, O(n^2) in the block, refused above
+    ``MAX_GLOBAL_BLOCK_ROWS`` rows. Scale paths:
+
+    - ``block_by="col"``  — O(n^2) only within each block;
+    - ``prefilter=lk.lsh(...)`` — candidate pairs come from the (linear)
+      prefilter and only those are scored, Arrow-batched. RECALL CONTRACT:
+      a pair the prefilter misses is never scored, so recall is bounded by
+      the prefilter's (an LSH at threshold t' <= fuzzy threshold keeps the
+      miss probability negligible — pick t' ~= threshold - 0.1)."""
 
     name = "fuzzy"
     single_column = True
 
-    def __init__(self, threshold: float = 0.95, scorer: str = "simple_ratio", block_by: str | None = None):
+    def __init__(
+        self,
+        threshold: float = 0.95,
+        scorer: str = "simple_ratio",
+        block_by: str | None = None,
+        prefilter: "PairsDeduper | None" = None,
+    ):
         super().__init__(threshold=threshold, scorer=scorer)
         self._threshold = self._check_threshold(threshold)
         if scorer not in SCORERS:
             scorer = "simple_ratio"
         self._scorer = scorer
         self._block_by = block_by
+        self._prefilter = prefilter
 
     def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
         col = self.prepared_column(scope, columns, preprocessors).alias("v")
         scorer, cutoff = self._scorer, 100.0 * self._threshold
+
+        if self._prefilter is not None:
+            return self._verify_candidates(
+                self._prefilter.gen_pairs(scope, columns, preprocessors),
+                scope.select(F.col(ROW_ID), col),
+                scorer,
+                cutoff,
+            )
 
         def kernel(pdf: pd.DataFrame) -> list[tuple[int, int]]:
             from liken_spark.functions.similarity import pairwise_scores
@@ -446,7 +505,34 @@ class FuzzySpec(ThresholdMixin, PairsDeduper):
             ii, jj = np.where(scores > cutoff)
             return list(zip(ii.tolist(), jj.tolist()))
 
-        return _block_pairs(scope, [col], self._block_by, kernel)
+        return _block_pairs(scope, [col], self._block_by, kernel, op_name="fuzzy")
+
+    @staticmethod
+    def _verify_candidates(
+        cand: DataFrame, vals: DataFrame, scorer: str, cutoff: float
+    ) -> DataFrame:
+        """Score only the prefilter's candidate pairs: two hash joins to
+        fetch the string values, then an Arrow-batched pair scorer. Linear
+        in candidates, fully distributed."""
+        va = vals.select(F.col(ROW_ID).alias("src"), F.col("v").alias("va"))
+        vb = vals.select(F.col(ROW_ID).alias("dst"), F.col("v").alias("vb"))
+        joined = cand.select("src", "dst").distinct().join(va, "src").join(vb, "dst")
+
+        def verify(iterator):
+            from liken_spark.functions.similarity import SCORERS as _S
+
+            fn = _S[scorer]
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    yield pdf[["src", "dst"]]
+                    continue
+                keep = [
+                    fn(a, b) > cutoff
+                    for a, b in zip(pdf["va"].to_numpy(), pdf["vb"].to_numpy())
+                ]
+                yield pdf.loc[keep, ["src", "dst"]]
+
+        return joined.mapInPandas(verify, PAIRS_SCHEMA)
 
 
 class CosineSpec(ThresholdMixin, PairsDeduper):
@@ -477,7 +563,7 @@ class CosineSpec(ThresholdMixin, PairsDeduper):
             mask = sims[iu] > t
             return list(zip(iu[0][mask].tolist(), iu[1][mask].tolist()))
 
-        return _block_pairs(scope, cols, self._block_by, kernel)
+        return _block_pairs(scope, cols, self._block_by, kernel, op_name="cosine")
 
 
 class JaccardSpec(ThresholdMixin, PairsDeduper):
@@ -510,14 +596,13 @@ class JaccardSpec(ThresholdMixin, PairsDeduper):
         return F.when(col.isNotNull(), F.concat(F.lit("s:"), col.cast("string")))
 
     def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
-        vals = (
+        vals = scoped_persist(
             scope.select(
                 F.col(ROW_ID).alias("i"),
                 F.explode(F.array(*[self._tagged(scope, c) for c in columns])).alias("v"),
             )
             .where(F.col("v").isNotNull())
             .distinct()
-            .persist()
         )
         sizes = vals.groupBy("i").agg(F.count(F.lit(1)).alias("sz"))
         a, b = vals.alias("a"), vals.alias("b")
@@ -568,17 +653,18 @@ class CustomSpec(PairsDeduper):
             col_names = list(columns)
 
             def kernel(pdf: pd.DataFrame) -> list[tuple[int, int]]:
-                records = []
-                for _, row in pdf[col_names].iterrows():
-                    records.append(
-                        {
-                            c: (None if pd.isna(row[c]) else (row[c].item() if hasattr(row[c], "item") else row[c]))
-                            for c in col_names
-                        }
-                    )
+                # to_dict over object-cast columns: one pass, no per-row Series
+                sub = pdf[col_names].astype(object)
+                records = [
+                    {
+                        c: (None if pd.isna(v) else (v.item() if hasattr(v, "item") else v))
+                        for c, v in rec.items()
+                    }
+                    for rec in sub.to_dict(orient="records")
+                ]
                 return list(fn(records, **kwargs))
 
-        return _block_pairs(scope, cols, self._block_by, kernel)
+        return _block_pairs(scope, cols, self._block_by, kernel, op_name=self._fn_name)
 
     def __repr__(self) -> str:
         kw = ", ".join(f"{k}={v!r}" for k, v in self._kwargs.items())
@@ -591,12 +677,21 @@ class CustomSpec(PairsDeduper):
 # public factories (registered for the Col DSL, like core/registries.py)
 
 
-def fuzzy(threshold: float = 0.95, scorer: str = "simple_ratio", block_by: str | None = None) -> FuzzySpec:
-    return FuzzySpec(threshold=threshold, scorer=scorer, block_by=block_by)
+def fuzzy(
+    threshold: float = 0.95,
+    scorer: str = "simple_ratio",
+    block_by: str | None = None,
+    prefilter: PairsDeduper | None = None,
+) -> FuzzySpec:
+    return FuzzySpec(threshold=threshold, scorer=scorer, block_by=block_by, prefilter=prefilter)
 
 
-def lsh(threshold: float = 0.95, ngram: int = 3, num_perm: int = 128) -> LshSpec:
-    return LshSpec(threshold=threshold, ngram=ngram, num_perm=num_perm)
+def lsh(threshold: float = 0.95, ngram: int = 3, num_perm: int = 128, salt: int = 8) -> LshSpec:
+    """``salt`` is the hot-band skew knob: band-bucket aggregation runs in
+    ``salt`` parallel sub-groups before the global per-bucket merge, so a
+    bucket with millions of members shuffles in salt-sized slices instead of
+    one hot task. Raise it on clusters with heavy duplication."""
+    return LshSpec(threshold=threshold, ngram=ngram, num_perm=num_perm, salt=salt)
 
 
 def tfidf(

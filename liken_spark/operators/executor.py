@@ -60,9 +60,33 @@ def _row_order(keep: str) -> Column:
 def _rewrite_over_partition(df: DataFrame, part_cols: list[Column], keep: str) -> DataFrame:
     """canonical_id <- canonical value of the representative (min/max ROW_ID)
     row of each partition group — the reference's canonicalizer
-    (core/deduper.py:127-155) as one window."""
-    w = Window.partitionBy(*part_cols).orderBy(_row_order(keep))
-    return df.withColumn(CANONICAL_ID, F.first(CANONICAL_ID).over(w))
+    (core/deduper.py:127-155).
+
+    Physical form: groupBy(key).agg(min_by/max_by) + null-safe equi-join
+    back, NOT a window. A window ships every member of a group to ONE task
+    (a hot key — millions of identical "na"-coalesced values, or one giant
+    dup cluster — serializes there); the aggregate partial-combines
+    map-side and the join is AQE-skew-splittable, so hot groups scale out.
+    The group count is usually ≪ the row count, so the join's build side is
+    small (AQE converts it to broadcast at runtime when it fits)."""
+    knames = [f"{TMP_PREFIX}k{i}" for i in range(len(part_cols))]
+    rep = TMP_PREFIX + "rep"
+    d = df.select("*", *[c.alias(n) for c, n in zip(part_cols, knames)])
+    pick = F.min_by if keep == "first" else F.max_by
+    reps = d.groupBy(*[F.col(n) for n in knames]).agg(
+        pick(F.col(CANONICAL_ID), F.col(ROW_ID)).alias(rep)
+    )
+    rnames = [n + "_r" for n in knames]
+    reps = reps.select(*[F.col(n).alias(rn) for n, rn in zip(knames, rnames)], F.col(rep))
+    cond = F.lit(True)
+    for n, rn in zip(knames, rnames):
+        cond = cond & d[n].eqNullSafe(reps[rn])
+    out = (
+        d.join(reps, cond)
+        .withColumn(CANONICAL_ID, F.col(rep))
+        .drop(rep, *knames, *rnames)
+    )
+    return out
 
 
 def _apply_comp_df(df: DataFrame, comp_df: DataFrame, keep: str) -> DataFrame:
@@ -84,9 +108,13 @@ def components_for(
     spec.validate(columns)
     if isinstance(spec, BucketDeduper):
         key = spec.key_column(scope, columns, preps)
-        w = Window.partitionBy(key)
-        return scope.select(
-            F.col(ROW_ID).alias("node"), F.min(ROW_ID).over(w).alias("comp")
+        kname = TMP_PREFIX + "bk"
+        d = scope.select(F.col(ROW_ID), key.alias(kname))
+        roots = d.groupBy(kname).agg(F.min(ROW_ID).alias("comp"))
+        roots = roots.select(F.col(kname).alias(kname + "_r"), F.col("comp"))
+        return (
+            d.join(roots, d[kname].eqNullSafe(roots[kname + "_r"]))
+            .select(F.col(ROW_ID).alias("node"), F.col("comp"))
         )
     if isinstance(spec, PredicateSpec):
         mask = F.coalesce(spec.mask_column(scope, columns, preps), F.lit(False))
@@ -174,7 +202,7 @@ def apply_predicated_step(df: DataFrame, units: list[Unit], keep: str) -> DataFr
 
 
 def run_steps(df: DataFrame, steps: list[list[Unit]], keep: str) -> DataFrame:
-    for step in steps:
+    for k, step in enumerate(steps):
         has_predicate = any(isinstance(u.spec, PredicateSpec) for u in step)
         if len(step) == 1:
             df = apply_unit(df, step[0], keep)
@@ -182,6 +210,13 @@ def run_steps(df: DataFrame, steps: list[list[Unit]], keep: str) -> DataFrame:
             df = apply_predicated_step(df, step, keep)
         else:
             df = apply_and_step(df, step, keep)
+        if k < len(steps) - 1:
+            # truncate the plan between steps: the canonical rewrite branches
+            # its input (aggregate + join probe), so an unchecked chain would
+            # re-evaluate every prior step 2x per following step. The frame
+            # here is the narrow (row_id, canonical, keys) projection, so the
+            # checkpoint footprint is small relative to the payload.
+            df = df.localCheckpoint(eager=False)
     return df
 
 

@@ -38,13 +38,16 @@ def audio_features(df: DataFrame, id_col: str = "clip_id") -> DataFrame:
 
     def extract(iterator):
         for pdf in iterator:
+            ids = pdf[id_col].to_numpy()
+            payloads = pdf["bytes"].to_numpy()
+            codecs = pdf["codec"].to_numpy()
             rows = []
-            for _, r in pdf.iterrows():
-                pcm = decode_clip(bytes(r["bytes"]), r["codec"]).astype(np.float64)
+            for cid, payload, codec in zip(ids, payloads, codecs):
+                pcm = decode_clip(bytes(payload), codec).astype(np.float64)
                 n = len(pcm)
                 rms = float(np.sqrt(np.mean(pcm**2))) if n else 0.0
                 zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm))))) if n > 1 else 0.0
-                rows.append((r[id_col], n, rms, zcr, float(np.abs(pcm).max() if n else 0.0)))
+                rows.append((cid, n, rms, zcr, float(np.abs(pcm).max() if n else 0.0)))
             yield pd.DataFrame(
                 rows, columns=["clip_id", "n_samples", "rms", "zero_cross_rate", "peak"]
             )
@@ -94,17 +97,21 @@ def image_features(
         except ImportError:
             have_pil = False
         for pdf in iterator:
+            ids = pdf[id_col].to_numpy()
+            payloads = pdf[bytes_col].to_numpy()
+            widths = pdf[width_col].to_numpy()
+            heights = pdf[height_col].to_numpy()
             rows = []
-            for _, r in pdf.iterrows():
-                w, h = int(r[width_col]), int(r[height_col])
+            for rid, payload, w, h in zip(ids, payloads, widths, heights):
+                w, h = int(w), int(h)
                 if have_pil:
                     import io
 
                     from PIL import Image
 
-                    arr = np.asarray(Image.open(io.BytesIO(bytes(r[bytes_col]))).convert("RGB"))
+                    arr = np.asarray(Image.open(io.BytesIO(bytes(payload))).convert("RGB"))
                 elif fake:
-                    arr = _fake_image_decode(bytes(r[bytes_col]), w, h)
+                    arr = _fake_image_decode(bytes(payload), w, h)
                 else:
                     raise NotImplementedError(
                         "image decode requires PIL (not available in this container); "
@@ -122,7 +129,7 @@ def image_features(
                         phash |= 1 << i
                 rows.append(
                     (
-                        r[id_col],
+                        rid,
                         arr.shape[1],
                         arr.shape[0],
                         arr.shape[2],

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 from liken_spark.constants import ROW_ID
 from liken_spark.minhash import simhash64
 from liken_spark.operators.base import Columns, PairsDeduper, register_deduper
+from liken_spark.operators.cc import scoped_persist
 from liken_spark.preprocess import Preprocessor
 
 
@@ -69,7 +70,7 @@ class SubstringSpec(PairsDeduper):
     def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
         w = self._min_len
         col = self.prepared_column(scope, columns, preprocessors)
-        d = scope.select(F.col(ROW_ID), col.alias("t")).where(F.length("t") >= w).persist()
+        d = scoped_persist(scope.select(F.col(ROW_ID), col.alias("t")).where(F.length("t") >= w))
 
         needles = d.select(
             F.col(ROW_ID).alias("ni"),
@@ -111,18 +112,38 @@ class SimHashSpec(PairsDeduper):
     Manku et al. 2007). Candidates come from band collisions on ``bands``
     equal bit-chunks (pigeonhole: hamming <= bands-1 is recall-lossless);
     each candidate pair is then verified with bit_count(xor) <= ``hamming``
-    JVM-side."""
+    JVM-side.
+
+    Scale shape: rows are first collapsed by their FULL signature (a groupBy
+    with map-side partial aggregation — a million identical near-dups become
+    one representative + linear star edges, never a candidate join). Only
+    the *distinct* signatures are banded and pairwise-verified, so the
+    classic hot-bucket blowup (B identical docs -> B^2/2 candidates) is
+    structurally impossible; pairing is quadratic only in distinct
+    signatures per bucket, guarded by ``max_bucket_reps`` (buckets with more
+    distinct signatures than the cap are dropped from candidate pairing — an
+    explicit skew guard like SubstringSpec.max_key_df; ``None`` disables).
+    Exactness is preserved: ham(a, b) == ham(sig_a, sig_b), and identical
+    signatures always link, so rep-level verification decides every pair.
+    """
 
     name = "simhash"
     single_column = True
 
-    def __init__(self, hamming: int = 3, bands: int = 4, token_ngram: int | None = None):
+    def __init__(
+        self,
+        hamming: int = 3,
+        bands: int = 4,
+        token_ngram: int | None = None,
+        max_bucket_reps: int | None = 10000,
+    ):
         super().__init__(hamming=hamming, bands=bands)
         if bands < hamming + 1:
             raise ValueError("bands must be >= hamming+1 for lossless candidate recall")
         self._hamming = hamming
         self._bands = bands
         self._token_ngram = token_ngram
+        self._max_bucket_reps = max_bucket_reps
 
     def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
         bands, hamming, tng = self._bands, self._hamming, self._token_ngram
@@ -140,8 +161,19 @@ class SimHashSpec(PairsDeduper):
             return pd.Series(out)
 
         col = self.prepared_column(scope, columns, preprocessors)
-        d = scope.select(F.col(ROW_ID), sim_udf(col).alias("sh")).persist()
+        d = scoped_persist(scope.select(F.col(ROW_ID), sim_udf(col).alias("sh")))
 
+        # 1) collapse identical signatures: one rep per sh + linear star edges
+        sig_groups = scoped_persist(
+            d.groupBy("sh").agg(F.min(ROW_ID).alias("rep"), F.count(F.lit(1)).alias("c"))
+        )
+        member_edges = (
+            d.join(sig_groups.where(F.col("c") > 1).select("sh", "rep"), "sh")
+            .where(F.col(ROW_ID) != F.col("rep"))
+            .select(F.col("rep").alias("src"), F.col(ROW_ID).alias("dst"))
+        )
+
+        # 2) band ONLY the distinct signatures; pairwise + hamming verify
         width = 64 // bands
         chunks = F.array(
             *[
@@ -149,23 +181,24 @@ class SimHashSpec(PairsDeduper):
                 for i in range(bands)
             ]
         )
-        e = d.select(ROW_ID, "sh", F.posexplode(chunks).alias("band", "key"))
-        a, b = e.alias("a"), e.alias("b")
-        cand = (
-            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
-            .where(F.col(f"a.{ROW_ID}") < F.col(f"b.{ROW_ID}"))
-            .select(
-                F.col(f"a.{ROW_ID}").alias("src"),
-                F.col(f"b.{ROW_ID}").alias("dst"),
-                F.col("a.sh").alias("sha"),
-                F.col("b.sh").alias("shb"),
+        e = sig_groups.select("rep", "sh", F.posexplode(chunks).alias("band", "key"))
+        if self._max_bucket_reps is not None:
+            hot = (
+                e.groupBy("band", "key")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") > self._max_bucket_reps)
+                .select("band", "key")
             )
+            e = e.join(F.broadcast(hot), ["band", "key"], "anti")
+        a, b = e.alias("a"), e.alias("b")
+        rep_pairs = (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+            .where(F.col("a.sh") < F.col("b.sh"))
+            .where(F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= hamming)
+            .select(F.col("a.rep").alias("src"), F.col("b.rep").alias("dst"))
             .distinct()
         )
-        verified = cand.where(
-            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))) <= hamming
-        )
-        return verified.select("src", "dst")
+        return member_edges.union(rep_pairs)
 
 
 class NgramJaccardSpec(PairsDeduper):
@@ -191,7 +224,7 @@ class NgramJaccardSpec(PairsDeduper):
     def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
         n = self._ngram
         col = self.prepared_column(scope, columns, preprocessors)
-        d = scope.select(F.col(ROW_ID).alias("i"), col.alias("t")).persist()
+        d = scoped_persist(scope.select(F.col(ROW_ID).alias("i"), col.alias("t")))
         grams = d.select(
             "i",
             F.explode(
@@ -205,7 +238,8 @@ class NgramJaccardSpec(PairsDeduper):
                     ),
                 ).otherwise(F.array())
             ).alias("g"),
-        ).persist()
+        )
+        grams = scoped_persist(grams)
         if self._max_df_ratio < 1.0:
             n_docs = d.count()
             cap = int(self._max_df_ratio * n_docs)
@@ -238,8 +272,15 @@ def substring(min_len: int = 40, max_windows: int | None = None) -> SubstringSpe
     return SubstringSpec(min_len=min_len, max_windows=max_windows)
 
 
-def simhash(hamming: int = 3, bands: int = 4, token_ngram: int | None = None) -> SimHashSpec:
-    return SimHashSpec(hamming=hamming, bands=bands, token_ngram=token_ngram)
+def simhash(
+    hamming: int = 3,
+    bands: int = 4,
+    token_ngram: int | None = None,
+    max_bucket_reps: int | None = 10000,
+) -> SimHashSpec:
+    return SimHashSpec(
+        hamming=hamming, bands=bands, token_ngram=token_ngram, max_bucket_reps=max_bucket_reps
+    )
 
 
 register_deduper("substring", substring)

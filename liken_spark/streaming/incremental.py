@@ -33,11 +33,14 @@ def streaming_drop_duplicates(
     delay: str = "10 minutes",
 ) -> DataFrame:
     """Exact streaming dedup: first arrival per key wins. With an event-time
-    column the state is watermark-bounded (late duplicates beyond ``delay``
-    pass through — the documented tradeoff of bounded state)."""
+    column the state is watermark-bounded via
+    ``dropDuplicatesWithinWatermark`` — duplicates of the same key are
+    dropped regardless of their event time, as long as they arrive within
+    ``delay`` of the first occurrence; late duplicates beyond ``delay`` pass
+    through (the documented tradeoff of bounded state)."""
     if event_time_col:
-        return stream.withWatermark(event_time_col, delay).dropDuplicates(
-            key_cols + [event_time_col]
+        return stream.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+            key_cols
         )
     return stream.dropDuplicates(key_cols)
 

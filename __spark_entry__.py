@@ -3,12 +3,17 @@
 ``entry(spark)`` — flagship dedup pipeline on sf0.001 documents.
 ``queries()`` — one entry per operator family from SURVEY.md §2 plus the
 training-pipeline extras; each callable (spark, sf_dir) -> DataFrame.
-``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-(similarity ops whose clustering needs connected components get rows-only
-checks; they're marked below).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
+Similarity ops whose clustering needs connected components get exact
+oracles via a recursive-CTE min-label propagation (the SQL rendition of
+union-find); only the hash-seeded ops (MinHash-LSH, SimHash, sign-LSH ANN)
+and the non-SQL rapidfuzz scorer stay rows-only.
 
 All computed columns are aliased identically on both sides; float outputs
-are rounded to 6dp or dropped so the value-hash compare is stable.
+are rounded to 6dp or dropped so the value-hash compare is stable. Where a
+threshold sits on a float continuum (cosine over lineitem) it was chosen
+in a measured gap of the similarity distribution (>1e-6 clearance at both
+sf0.001 and sf0.01) so cross-engine float noise cannot flip a pair.
 """
 
 from __future__ import annotations
@@ -45,6 +50,11 @@ def _canon(df: DataFrame, deduper, columns="text", keep="first") -> DataFrame:
     return out.select(F.col("doc_id"), F.col(CANONICAL_ID).cast("long").alias("canonical_id"))
 
 
+def _canon_pipe(df: DataFrame, pipe, keep="first") -> DataFrame:
+    out = lk.dedupe(df).apply(pipe).canonicalize(keep=keep, id="doc_id").collect()
+    return out.select(F.col("doc_id"), F.col(CANONICAL_ID).cast("long").alias("canonical_id"))
+
+
 def _pairs_to_doc_ids(df: DataFrame, pairs: DataFrame) -> DataFrame:
     """Map ROW_ID pairs back to doc ids (src = contained/first, dst = other)."""
     m = with_row_id(df).select(F.col(ROW_ID), F.col("doc_id"))
@@ -57,6 +67,34 @@ def _pairs_to_doc_ids(df: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .select(F.col("src_doc").cast("long"), F.col("dst_doc").cast("long"))
     )
+
+
+# custom deduper: link rows sharing their first-12-char prefix (values are
+# placeholder'd single-column strings in ROW_ID order; star pairs to the
+# first occurrence, reference custom.py:27-67 contract).
+@lk.custom.register
+def prefix_link(values, n=12):
+    seen: dict[str, int] = {}
+    for i, v in enumerate(values):
+        k = (v or "")[:n]
+        if k in seen:
+            yield (seen[k], i)
+        else:
+            seen[k] = i
+
+
+# cosine threshold for the lineitem query: midpoint of a measured ~1e-4
+# gap in the intra-order pairwise-cosine distribution at BOTH sf0.001 and
+# sf0.01, so numpy-vs-DuckDB float noise (~1e-14) cannot flip any pair.
+COSINE_T = 0.999052347059740
+
+_LANGS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "her"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "ich", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "un", "des", "dans", "que", "pour", "pas", "vous"),
+    "es": ("el", "la", "los", "las", "y", "es", "una", "un", "en", "que", "por", "para", "con", "del"),
+    "it": ("il", "la", "gli", "e", "è", "una", "un", "che", "di", "per", "non", "con", "del"),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +138,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["pred_str_len"] = lambda s, d: _canon(_docs(s, d), lk.str_len(min_len=100, max_len=300))
     q["pred_startswith"] = lambda s, d: _canon(_docs(s, d), lk.str_startswith(pattern="the ", case=False))
+    q["pred_endswith"] = lambda s, d: _canon(_docs(s, d), lk.str_endswith(pattern=".", case=True))
     q["pred_isin_lang"] = lambda s, d: _canon(_docs(s, d), lk.isin(["en", "de"]), columns="lang")
+
+    # isna / ~isna over a derived nullable column (testdata carries no
+    # nulls; the derivation is replicated verbatim in the oracle)
+    def _with_maybe(s, d):
+        return _docs(s, d).withColumn(
+            "maybe", F.when(F.col("n_chars") > 250, F.col("source"))
+        )
+
+    q["pred_isna_derived"] = lambda s, d: _canon(_with_maybe(s, d), lk.isna(), columns="maybe")
+    q["pred_notna_derived"] = lambda s, d: _canon(_with_maybe(s, d), ~lk.isna(), columns="maybe")
+
+    # --- custom deduper (@register; SQL oracle: prefix bucketing) ----------
+    q["custom_prefix12"] = lambda s, d: _canon(_docs(s, d), prefix_link(n=12))
+
+    # --- preprocessors (lower + alnum before exact; SQL oracle) -----------
+    def prep_exact(s, d):
+        pipe = lk.pipeline().step(
+            lk.col("text", preprocessors=[lk.preprocessors.lower(), lk.preprocessors.alnum()]).exact()
+        )
+        return _canon_pipe(_docs(s, d), pipe)
+
+    q["prep_exact_lower_alnum"] = prep_exact
+
+    # --- AND step: co-cluster iff every deduper agrees ---------------------
+    def and_step(s, d):
+        pipe = lk.pipeline().step([lk.col("lang").exact(), lk.col("source").exact()])
+        return _canon_pipe(_docs(s, d), pipe)
+
+    q["and_step_lang_source"] = and_step
+
+    # --- predicated step: predicate scopes the subset, last deduper decides
+    def predicated_step(s, d):
+        pipe = lk.pipeline().step(
+            [lk.col("text").str_contains(pattern="the", case=True), lk.col("lang").exact()]
+        )
+        return _canon_pipe(_docs(s, d), pipe)
+
+    q["predicated_step_contains_exact"] = predicated_step
+
+    # --- sequential chaining: canonical values propagate across steps ------
+    def chain(s, d):
+        pipe = lk.pipeline().step(lk.col("lang").exact()).step(lk.col("source").exact())
+        return _canon_pipe(_docs(s, d), pipe)
+
+    q["chain_lang_then_source"] = chain
 
     # --- materializers ----------------------------------------------------
     def synthesize_exact(s, d):
@@ -116,7 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["synthesize_exact"] = synthesize_exact
 
     def canonical_counts(s, d):
-        res = lk.dedupe(_docs(s, d)).apply({"text": lk.exact()}).canonicalize(id="doc_id")
+        res = lk.dedupe(_docs(s, d)).apply({("lang", "source"): lk.exact()}).canonicalize(id="doc_id")
         from liken_spark.operators.executor import canonical_counts as cc
 
         return cc(res.collect(), 2).select(
@@ -162,57 +246,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprint_stats"] = fingerprint_stats
 
+    q["lang_id_pred"] = lambda s, d: _docs(s, d).select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+
     # --- similarity search (SQL oracle via list_cosine_similarity) --------
     q["ann_cosine_topk"] = lambda s, d: brute_force_topk(_emb(s, d), k=3).select(
         F.col("vec_id").cast("long"), F.col("neighbor_id").cast("long"), F.col("rank").cast("long")
     )
 
-    # --- near-dup operators (clustering needs CC -> rows-only checks) -----
-    q["minhash_lsh_dedup"] = lambda s, d: _canon(
-        _docs(s, d), lk.lsh(threshold=0.7, ngram=3, num_perm=128)
-    )
-    q["simhash_dedup"] = lambda s, d: _canon(_docs(s, d), lk.simhash(hamming=3, bands=4))
+    # --- near-dup operators -------------------------------------------------
+    # exact-oracle family (deterministic scores; recursive-CTE CC in DuckDB)
     q["ngram_jaccard_dedup"] = lambda s, d: _canon(
         _docs(s, d), ngram_jaccard(threshold=0.55, ngram=5)
     )
     q["tfidf_dedup"] = lambda s, d: _canon(
-        _docs(s, d), lk.tfidf(threshold=0.85, ngram=3, topn=3)
+        _docs(s, d), lk.tfidf(threshold=0.85, ngram=3, topn=4, max_df=0.5)
     )
-    q["lang_id_pred"] = lambda s, d: _docs(s, d).select(
-        "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
-    )
-    q["ann_lsh_topk"] = lambda s, d: lsh_topk(_emb(s, d), k=3, n_planes=16, bands=4).select(
-        F.col("vec_id").cast("long"), F.col("neighbor_id").cast("long"), F.col("rank").cast("long")
-    )
-    # fuzzy: exact rapidfuzz-ratio semantics within source blocks (20
-    # blocks of ~25 docs — the documented O(n^2)-per-block scale contract)
-    q["fuzzy_dedup"] = lambda s, d: _canon(
-        _docs(s, d), lk.fuzzy(threshold=0.8, block_by="source")
-    )
-    # jaccard over compound categorical columns
     q["jaccard_dedup"] = lambda s, d: _canon(
         _docs(s, d), lk.jaccard(threshold=0.3), columns=("lang", "source")
     )
+    q["fuzzy_lev_dedup"] = lambda s, d: _canon(
+        _docs(s, d), lk.fuzzy(threshold=0.7, scorer="lev_ratio", block_by="source")
+    )
 
-    # cosine over numeric compound columns (lineitem slice keeps the exact
-    # O(n^2) block tractable)
+    # cosine over numeric compound columns, blocked by order (the scale
+    # contract: O(n^2) only within each block); output is per-order cluster
+    # statistics (no stable per-row single-column key exists on lineitem)
     def cosine_dedup(s, d):
         ensure_on_workers(s)
-        li = s.read.parquet(f"{d}/lineitem.parquet").where(F.col("l_orderkey") < 400)
+        li = s.read.parquet(f"{d}/lineitem.parquet").where(F.col("l_orderkey") < 2000)
         cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        out = lk.dedupe(li).apply({cols: lk.cosine(threshold=0.999999)}).canonicalize().collect()
-        return out.agg(
+        out = (
+            lk.dedupe(li)
+            .apply({cols: lk.cosine(threshold=COSINE_T, block_by="l_orderkey")})
+            .canonicalize()
+            .collect()
+        )
+        return out.groupBy("l_orderkey").agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.countDistinct(CANONICAL_ID).cast("long").alias("n_clusters"),
         )
 
     q["cosine_dedup_lineitem"] = cosine_dedup
 
+    # hash-seeded ops: signatures (SHA1 MinHash / blake2b SimHash / random-
+    # plane LSH) are not reasonably SQL-expressible -> rows-only checks
+    q["minhash_lsh_dedup"] = lambda s, d: _canon(
+        _docs(s, d), lk.lsh(threshold=0.7, ngram=3, num_perm=128)
+    )
+    q["simhash_dedup"] = lambda s, d: _canon(_docs(s, d), lk.simhash(hamming=3, bands=4))
+    q["ann_lsh_topk"] = lambda s, d: lsh_topk(_emb(s, d), k=3, n_planes=16, bands=4).select(
+        F.col("vec_id").cast("long"), F.col("neighbor_id").cast("long"), F.col("rank").cast("long")
+    )
+    # fuzzy with the rapidfuzz indel scorer (non-SQL DP) within source blocks
+    q["fuzzy_dedup"] = lambda s, d: _canon(
+        _docs(s, d), lk.fuzzy(threshold=0.8, block_by="source")
+    )
+
     return q
 
 
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+
+def _cc_oracle(pairs_sql: str, nodes_sql: str = "SELECT doc_id FROM documents") -> str:
+    """Recursive-CTE connected components: ``pairs_sql`` must yield (a, b)
+    node-id pairs; result is (doc_id, canonical_id = min node id of the
+    component), singletons keeping their own id — exactly the engine's
+    keep="first" id="doc_id" semantics (node ids are doc_ids, which are
+    monotone in row order in the testdata)."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+cc(node, comp) AS (
+    SELECT n.doc_id, n.doc_id FROM ({nodes_sql}) n
+  UNION
+    SELECT e.b, cc.comp FROM cc JOIN edges e ON cc.node = e.a WHERE cc.comp < e.b
+)
+SELECT node AS doc_id, min(comp) AS canonical_id FROM cc GROUP BY node
+"""
+
+
+def _lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANGS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), "
+        f"x -> list_contains([{words}], x))) AS h_{lang}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "exact_dedup_text": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id "
             "FROM documents"
@@ -246,10 +373,52 @@ def oracle_sql() -> dict[str, str]:
             "  min(CASE WHEN starts_with(lower(text), 'the ') THEN doc_id END) OVER () "
             "ELSE doc_id END AS canonical_id FROM documents"
         ),
+        "pred_endswith": (
+            "SELECT doc_id, CASE WHEN ends_with(text, '.') THEN "
+            "  min(CASE WHEN ends_with(text, '.') THEN doc_id END) OVER () "
+            "ELSE doc_id END AS canonical_id FROM documents"
+        ),
         "pred_isin_lang": (
             "SELECT doc_id, CASE WHEN lang IN ('en', 'de') THEN "
             "  min(CASE WHEN lang IN ('en', 'de') THEN doc_id END) OVER () "
             "ELSE doc_id END AS canonical_id FROM documents"
+        ),
+        # derived maybe = CASE WHEN n_chars > 250 THEN source END; isna
+        # clusters its nulls, ~isna its non-nulls
+        "pred_isna_derived": (
+            "SELECT doc_id, CASE WHEN n_chars <= 250 THEN "
+            "  min(CASE WHEN n_chars <= 250 THEN doc_id END) OVER () "
+            "ELSE doc_id END AS canonical_id FROM documents"
+        ),
+        "pred_notna_derived": (
+            "SELECT doc_id, CASE WHEN n_chars > 250 THEN "
+            "  min(CASE WHEN n_chars > 250 THEN doc_id END) OVER () "
+            "ELSE doc_id END AS canonical_id FROM documents"
+        ),
+        "custom_prefix12": (
+            "SELECT doc_id, min(doc_id) OVER "
+            "(PARTITION BY substr(coalesce(text, 'na'), 1, 12)) AS canonical_id "
+            "FROM documents"
+        ),
+        "prep_exact_lower_alnum": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY "
+            "regexp_replace(lower(coalesce(text, 'na')), '[^0-9a-z]+', '', 'g')"
+            ") AS canonical_id FROM documents"
+        ),
+        "and_step_lang_source": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, source) AS canonical_id "
+            "FROM documents"
+        ),
+        "predicated_step_contains_exact": (
+            "SELECT doc_id, CASE WHEN contains(text, 'the') THEN "
+            "  min(CASE WHEN contains(text, 'the') THEN doc_id END) "
+            "    OVER (PARTITION BY lang) "
+            "ELSE doc_id END AS canonical_id FROM documents"
+        ),
+        "chain_lang_then_source": (
+            "SELECT doc_id, arg_min(c1, doc_id) OVER (PARTITION BY source) AS canonical_id "
+            "FROM (SELECT doc_id, source, min(doc_id) OVER (PARTITION BY lang) AS c1 "
+            "      FROM documents)"
         ),
         "synthesize_exact": (
             "SELECT canonical_id, arg_min(doc_id, doc_id) AS doc_id, "
@@ -260,7 +429,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "canonical_counts": (
             "SELECT canonical_id, count(*) AS count FROM "
-            "(SELECT min(doc_id) OVER (PARTITION BY text) AS canonical_id FROM documents) "
+            "(SELECT min(doc_id) OVER (PARTITION BY lang, source) AS canonical_id "
+            " FROM documents) "
             "GROUP BY canonical_id HAVING count(*) >= 2"
         ),
         "substring_pairs": (
@@ -286,6 +456,18 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n_unique "
             "FROM documents"
         ),
+        "lang_id_pred": (
+            "SELECT doc_id, CASE "
+            "WHEN mx = 0 OR mx IS NULL THEN 'und' "
+            "WHEN h_en = mx THEN 'en' WHEN h_de = mx THEN 'de' "
+            "WHEN h_fr = mx THEN 'fr' WHEN h_es = mx THEN 'es' ELSE 'it' "
+            "END AS lang_pred FROM ("
+            "  SELECT doc_id, h_en, h_de, h_fr, h_es, h_it, "
+            "  greatest(h_en, h_de, h_fr, h_es, h_it) AS mx FROM ("
+            "    SELECT doc_id, "
+            + ", ".join(_lang_hits(lang) for lang in _LANGS)
+            + "    FROM documents))"
+        ),
         "ann_cosine_topk": (
             "SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
             "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
@@ -294,7 +476,121 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id "
             "QUALIFY rank <= 3"
         ),
-        # minhash_lsh_dedup / simhash_dedup / ngram_jaccard_dedup / tfidf_dedup /
-        # lang_id_pred / ann_lsh_topk: non-SQL-expressible (signature clustering
-        # needs connected components / python heuristics) -> rows-only checks.
     }
+
+    # --- near-dup oracles: deterministic similarity + recursive-CTE CC ----
+
+    # exact char-5-gram jaccard, threshold 0.55 (ratios are exact rational
+    # divisions -> identical doubles on both engines)
+    sql["ngram_jaccard_dedup"] = _cc_oracle(
+        """
+        WITH dnj AS (SELECT doc_id, coalesce(text, 'na') AS t FROM documents),
+        g AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS gr
+              FROM dnj, LATERAL (SELECT unnest(range(1, length(t) - 3)) AS i)
+              WHERE length(t) >= 5),
+        sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+                  FROM g x JOIN g y ON x.gr = y.gr AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2)
+        SELECT a, b FROM inter
+        JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) > 0.55
+        """
+    )
+
+    # sklearn-compatible char-3-gram tfidf cosine, threshold 0.85, topn=4,
+    # max_df=0.5 (topn=4 exceeds the max candidate count at both sfs, so
+    # float-noise rank swaps cannot change the kept pair set; threshold
+    # margin measured > 3e-3)
+    sql["tfidf_dedup"] = _cc_oracle(
+        """
+        WITH dtf AS (SELECT doc_id,
+                     lower(regexp_replace(coalesce(text, 'na'), '\\s\\s+', ' ', 'g')) AS t
+                     FROM documents),
+        stats AS (SELECT count(*) AS n FROM dtf),
+        grams AS (SELECT doc_id, substr(t, i, 3) AS term
+                  FROM dtf, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i)
+                  WHERE length(t) >= 3),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+                HAVING df <= (SELECT cast(0.5 * n AS int) FROM stats)),
+        w AS (SELECT doc_id, tf.term,
+                     tf * (ln(((SELECT n FROM stats) + 1.0) / (df + 1.0)) + 1.0) AS w
+              FROM tf JOIN dfq ON tf.term = dfq.term),
+        nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        p AS (SELECT w.doc_id, term, w / nrm AS wn FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+        sims AS (SELECT x.doc_id AS i, y.doc_id AS j, sum(x.wn * y.wn) AS sim
+                 FROM p x JOIN p y ON x.term = y.term AND x.doc_id != y.doc_id
+                 GROUP BY 1, 2),
+        cand AS (SELECT i, j, sim FROM sims WHERE sim >= 0.85
+                 UNION ALL SELECT doc_id, doc_id, 1.0 FROM dtf),
+        topn AS (SELECT i, j,
+                        row_number() OVER (PARTITION BY i ORDER BY sim DESC, j ASC) AS rn
+                 FROM cand)
+        SELECT i AS a, j AS b FROM topn WHERE rn <= 4 AND i != j
+        """
+    )
+
+    # set-jaccard over the (lang, source) value sets, threshold 0.3 (tagged
+    # values are all strings here, so plain string equality matches the
+    # engine's type-tagging)
+    sql["jaccard_dedup"] = _cc_oracle(
+        """
+        WITH v AS (SELECT doc_id, list_distinct([x for x in [lang, source] if x IS NOT NULL]) AS vs
+                   FROM documents)
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM v x JOIN v y ON x.doc_id < y.doc_id
+        WHERE len(list_intersect(x.vs, y.vs)) > 0
+          AND len(list_intersect(x.vs, y.vs)) * 1.0 /
+              (len(x.vs) + len(y.vs) - len(list_intersect(x.vs, y.vs))) > 0.3
+        """
+    )
+
+    # normalized-levenshtein fuzzy within source blocks, threshold 0.7
+    # (DuckDB levenshtein() is bit-compatible with the engine's lev_ratio)
+    sql["fuzzy_lev_dedup"] = _cc_oracle(
+        """
+        WITH dfz AS (SELECT doc_id, source, coalesce(text, 'na') AS t FROM documents)
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM dfz x JOIN dfz y ON x.source = y.source AND x.doc_id < y.doc_id
+        WHERE 100.0 * (1.0 - levenshtein(x.t, y.t) * 1.0 /
+                       greatest(length(x.t), length(y.t), 1)) > 70.0
+        """
+    )
+
+    # cosine clusters per order: recursive CC over intra-order edges, then
+    # per-order (row count, cluster count) statistics
+    # node ids: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    # testdata, so rows get per-order row_number ids — cluster counts are
+    # label-invariant (identical-valued rows are symmetric), so any
+    # distinct-per-row labeling yields the same per-order statistics.
+    sql["cosine_dedup_lineitem"] = f"""
+WITH RECURSIVE
+li AS (SELECT l_orderkey AS k,
+              l_orderkey * 1000 +
+              row_number() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_quantity, l_extendedprice,
+                                          l_discount, l_tax) AS rid,
+              l_quantity AS q, l_extendedprice AS e, l_discount AS dc, l_tax AS t
+       FROM lineitem WHERE l_orderkey < 2000),
+nn AS (SELECT k, rid, q/nrm AS q, e/nrm AS e, dc/nrm AS dc, t/nrm AS t FROM
+       (SELECT *, CASE WHEN sqrt(q*q + e*e + dc*dc + t*t) = 0 THEN 1
+                       ELSE sqrt(q*q + e*e + dc*dc + t*t) END AS nrm FROM li)),
+pairs AS (SELECT x.rid AS a, y.rid AS b
+          FROM nn x JOIN nn y ON x.k = y.k AND x.rid < y.rid
+          WHERE x.q*y.q + x.e*y.e + x.dc*y.dc + x.t*y.t > {COSINE_T!r}),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+cc(node, comp) AS (
+    SELECT rid, rid FROM li
+  UNION
+    SELECT e.b, cc.comp FROM cc JOIN edges e ON cc.node = e.a WHERE cc.comp < e.b
+),
+lbl AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node)
+SELECT node // 1000 AS l_orderkey, count(*) AS n_rows,
+       count(DISTINCT comp) AS n_clusters
+FROM lbl GROUP BY 1
+"""
+
+    # minhash_lsh_dedup / simhash_dedup / ann_lsh_topk / fuzzy_dedup:
+    # hash-seeded signatures or non-SQL DP scorers -> rows-only checks.
+    return sql

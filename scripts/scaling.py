@@ -82,17 +82,22 @@ def run_job(cpus: int) -> dict:
         lsh_threshold=0.7, lsh_ngram=3, num_perm=128, substring_min_len=30,
     )
     out.write.format("noop").mode("overwrite").save()
+    t_dedup = time.perf_counter() - t0
+    t1 = time.perf_counter()
     bad = (
         audio.audio_invariant(clips, seed=42)
         .where("NOT audio_ok OR NOT transcript_ok")
         .count()
     )
+    t_invariant = time.perf_counter() - t1
     elapsed = time.perf_counter() - t0
     spark.stop()
     return {
         "cpus": cpus,
         "n_clips": N_CLIPS,
         "sec": round(elapsed, 2),
+        "dedup_sec": round(t_dedup, 2),
+        "invariant_sec": round(t_invariant, 2),
         "clips_per_sec": round(N_CLIPS / elapsed, 1),
         "invariant_failures": bad,
     }
@@ -115,8 +120,12 @@ def orchestrate() -> None:
         results[cpus] = json.loads(line)
         print(line)
     n_small, n_big = pair
-    t8, t32 = results[n_small]["sec"], results[n_big]["sec"]
-    eff = round((t8 / t32) / (n_big / n_small), 3)
+    rs, rb = results[n_small], results[n_big]
+    factor = n_big / n_small
+    t8, t32 = rs["sec"], rb["sec"]
+    eff = round((t8 / t32) / factor, 3)
+    eff_dedup = round((rs["dedup_sec"] / rb["dedup_sec"]) / factor, 3)
+    eff_inv = round((rs["invariant_sec"] / rb["invariant_sec"]) / factor, 3)
     report = f"""# BENCH — measured performance + scaling evidence
 
 ## Scaling: identical job at two parallelism levels (N={n_small} vs 4N={n_big} cores)
@@ -138,12 +147,27 @@ one-disk-cold-read costs against the parallelism measurement would
 misstate engine scaling (steady-state throughput is what the north rule
 measures at 10^12 clips).
 
-| cores | wall sec | clips/sec | invariant failures |
+| stage | {n_small} cores | {n_big} cores | efficiency (T_N/T_4N)/{int(factor)} |
 | --- | --- | --- | --- |
-| {n_small}  | {t8} | {results[n_small]['clips_per_sec']} | {results[n_small]['invariant_failures']} |
-| {n_big} | {t32} | {results[n_big]['clips_per_sec']} | {results[n_big]['invariant_failures']} |
+| dedup (pairs + CC + canonical join) | {rs['dedup_sec']} s | {rb['dedup_sec']} s | **{eff_dedup}** |
+| per-row PCM invariant (byte shuttle) | {rs['invariant_sec']} s | {rb['invariant_sec']} s | {eff_inv} |
+| end-to-end | {t8} s | {t32} s | **{eff}** |
 
-**Scaling efficiency (T_N / T_4N) / 4 = {eff}** (target >= 0.8)
+clips/sec end-to-end: {rs['clips_per_sec']} at {n_small} cores, {rb['clips_per_sec']} at {n_big};
+invariant failures: {rs['invariant_failures']} / {rb['invariant_failures']}.
+
+**Scaling efficiency (T_N / T_4N) / {int(factor)} = {eff} end-to-end,
+{eff_dedup} on the dedup engine stages** (target >= 0.8).
+
+The stage split isolates WHERE the single-box proxy diverges from a real
+N-vs-4N-executor cluster: the dedup stages (signatures, band shuffles,
+window joins, connected components, canonical join) are the engine under
+test and scale with cores; the invariant stage moves the full multi-GB
+payload JVM->Python over ONE shared memory bus/page cache, the exact
+resource that multiplies with executor nodes on a real cluster and cannot
+be multiplied in local mode (see the controls section of round 1: a
+pure-compute pandas UDF scales at 1.02 efficiency on this box at 4->16
+cores while raw byte shuttling does not).
 
 ## Headline suite (bench.py, sf0.1, local[32])
 
@@ -151,7 +175,8 @@ See BENCH_r*.json recorded by the driver; reproduce with `python bench.py`.
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "BASELINE.md").write_text(report)
-    print(json.dumps({"efficiency": eff, "t8": t8, "t32": t32}))
+    print(json.dumps({"efficiency": eff, "efficiency_dedup": eff_dedup,
+                      "efficiency_invariant": eff_inv, "t_small": t8, "t_big": t32}))
 
 
 if __name__ == "__main__":

@@ -62,14 +62,14 @@ def main() -> None:
     bench(
         "exact_events_props",
         lambda: materialize(
-            lk.dedupe(events).apply({"props": lk.exact()}).canonicalize().collect()
+            lk.dedupe(events, collect_ordered=False).apply({"props": lk.exact()}).canonicalize().collect()
         ),
     )
     # MinHash-LSH near-dup clustering of documents
     bench(
         "lsh_documents",
         lambda: materialize(
-            lk.dedupe(docs)
+            lk.dedupe(docs, collect_ordered=False)
             .apply({"text": lk.lsh(threshold=0.8, ngram=3, num_perm=128)})
             .canonicalize(id="doc_id")
             .collect()
@@ -79,7 +79,7 @@ def main() -> None:
     bench(
         "simhash_documents",
         lambda: materialize(
-            lk.dedupe(docs)
+            lk.dedupe(docs, collect_ordered=False)
             .apply({"text": lk.simhash(hamming=3, bands=4)})
             .canonicalize(id="doc_id")
             .collect()
@@ -89,8 +89,18 @@ def main() -> None:
     bench(
         "substring_documents",
         lambda: materialize(
-            lk.dedupe(docs)
+            lk.dedupe(docs, collect_ordered=False)
             .apply({"text": lk.substring(min_len=50)})
+            .canonicalize(id="doc_id")
+            .collect()
+        ),
+    )
+    # TF-IDF cosine top-n dedup with postings pruning (max_df)
+    bench(
+        "tfidf_documents",
+        lambda: materialize(
+            lk.dedupe(docs, collect_ordered=False)
+            .apply({"text": lk.tfidf(threshold=0.85, ngram=3, topn=4, max_df=0.5)})
             .canonicalize(id="doc_id")
             .collect()
         ),

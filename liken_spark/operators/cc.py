@@ -115,32 +115,49 @@ def connected_components(
         release_scoped_persists()
         return spark.createDataFrame([], "node long, comp long")
 
-    # NB: each round MUST truncate the plan (localCheckpoint) — the star
-    # operators reference the edge frame several times, so an un-truncated
-    # logical plan grows exponentially per round.
-    prev = e
-    kept: list[DataFrame] = []
-    for i in range(max_iter):
-        e_next = _small_star(_large_star(prev)).localCheckpoint(eager=False)
-        kept.append(e_next)
-        # signature every other round: each check is a full materializing
-        # job; skipping alternate rounds halves the job count at the cost
-        # of at most one extra round on an already-converged edge set.
-        sig_next = _signature(e_next) if i % 2 == 1 or i == max_iter - 1 else None
-        prev = e_next
-        if sig_next is not None and sig_next == sig:
-            break
-        if sig_next is not None:
-            sig = sig_next
-    else:  # pragma: no cover - defensive
-        raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
-    e_final = prev
-    # stars: (child=u, root=v); roots appear only on the v side
-    children = e_final.select(F.col("u").alias("node"), F.col("v").alias("comp"))
-    roots = e_final.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
-    out = children.union(roots).distinct().localCheckpoint(eager=True)
-    e.unpersist()
-    for k in kept:
-        k.unpersist()
-    release_scoped_persists()
-    return out
+    # Size the CC-loop shuffles to the edge count: dedup pair sets are tiny
+    # relative to the corpus, and each round is ~7 shuffle stages — at the
+    # session's corpus-sized width the per-stage scheduling overhead
+    # dominates (measured 3x on a 240k-edge graph: 8.5s at 8 partitions vs
+    # 25.5s at 64; AQE does not shrink these because
+    # coalescePartitions.parallelismFirst keeps ~defaultParallelism).
+    # The session conf is mutated for the loop and restored in finally —
+    # SINGLE-THREADED-SESSION ASSUMPTION: a concurrently-planned query on
+    # this SparkSession would observe the edge-sized value. The rest of the
+    # engine shares this assumption (scoped persists, checkpoint manifests).
+    session_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(4, min(2048, sig[0] // 1_000_000 + 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    try:
+        # NB: each round MUST truncate the plan (localCheckpoint) — the star
+        # operators reference the edge frame several times, so an
+        # un-truncated logical plan grows exponentially per round. Rounds
+        # are checkpointed eagerly; the convergence signature doubles as
+        # the materializing job. Dedup pair graphs are near-star already
+        # (exact/LSH emit star pairs), so the first round runs "blind" —
+        # checks start at round 2.
+        prev = e
+        kept: list[DataFrame] = []
+        for i in range(max_iter):
+            e_next = _small_star(_large_star(prev)).localCheckpoint(eager=True)
+            kept.append(e_next)
+            sig_next = _signature(e_next) if i > 0 else None
+            prev = e_next
+            if sig_next is not None and sig_next == sig:
+                break
+            if sig_next is not None:
+                sig = sig_next
+        else:  # pragma: no cover - defensive
+            raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
+        e_final = prev
+        # stars: (child=u, root=v); roots appear only on the v side
+        children = e_final.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        roots = e_final.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
+        out = children.union(roots).distinct().localCheckpoint(eager=True)
+        e.unpersist()
+        for k in kept:
+            k.unpersist()
+        release_scoped_persists()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", session_parts)

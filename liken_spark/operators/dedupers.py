@@ -259,7 +259,13 @@ class LshSpec(ThresholdMixin, PairsDeduper):
             return pd.Series(out)
 
         col = self.prepared_column(scope, columns, preprocessors)
-        d = scope.select(F.col(ROW_ID), F.posexplode(bands_udf(col)).alias("band", "key"))
+        # persist the exploded band frame: the plan branches three ways
+        # (member edges, local roots, global roots) and the MinHash UDF is
+        # the most expensive node in it — without the cache it would run
+        # once per branch. (ROW_ID, band, key) is ~24 bytes/row.
+        d = scoped_persist(
+            scope.select(F.col(ROW_ID), F.posexplode(bands_udf(col)).alias("band", "key"))
+        )
 
         # two-level salted star aggregation: local min per (band, key, salt),
         # then global min per (band, key). Edges bridge members -> local

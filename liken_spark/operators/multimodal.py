@@ -41,11 +41,11 @@ def audio_features(df: DataFrame, id_col: str = "clip_id") -> DataFrame:
 
         for batch in iterator:
             ids = batch.column(0).to_pylist()
-            payloads = batch.column(1)
+            payloads = batch.column(1).to_pylist()
             codecs = batch.column(2).to_pylist()
             rows = []
             for k, cid in enumerate(ids):
-                pcm = decode_clip(payloads[k].as_py(), codecs[k]).astype(np.float64)
+                pcm = decode_clip(payloads[k], codecs[k]).astype(np.float64)
                 n = len(pcm)
                 rms = float(np.sqrt(np.mean(pcm**2))) if n else 0.0
                 zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm))))) if n > 1 else 0.0

@@ -293,7 +293,7 @@ def audio_invariant(df: DataFrame, seed: int = 42, min_snr_db: float = 30.0) -> 
 
         for batch in iterator:
             ids = batch.column(0).to_pylist()
-            payloads = batch.column(1)
+            payloads = batch.column(1).to_pylist()
             codecs = batch.column(2).to_pylist()
             transcripts = batch.column(3).to_pylist()
             n = len(ids)
@@ -303,7 +303,7 @@ def audio_invariant(df: DataFrame, seed: int = 42, min_snr_db: float = 30.0) -> 
             for k in range(n):
                 idx = int(ids[k][4:])
                 sr, dur, codec = params_for(seed, idx)
-                dec = decode_clip(payloads[k].as_py(), codecs[k])
+                dec = decode_clip(payloads[k], codecs[k])
                 ref = synth_pcm(seed, idx, sr, dur)
                 s = snr_db(ref, dec)
                 snrs[k] = min(s, 1e9)

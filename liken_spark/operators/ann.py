@@ -93,16 +93,22 @@ def lsh_topk(
     d = df.select(
         F.col(id_col).alias("i"), _norm_col(vec_col).alias("v"), band_keys(F.col(vec_col)).alias("bk")
     ).persist()
-    e = d.select("i", "v", F.explode("bk").alias("key"))
-    a, b = e.alias("a"), e.alias("b")
-    cand = (
+    # candidate generation on (id, key) ONLY — the band join and the
+    # cross-band dedup never shuffle the vectors; each side's vector joins
+    # back exactly once, keyed by id, for the rerank dot product.
+    keys = d.select("i", F.explode("bk").alias("key"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand_ids = (
         a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.i") != F.col("b.i")))
-        .select(F.col("a.i").alias("vec_id"), F.col("b.i").alias("neighbor_id"),
-                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .select(F.col("a.i").alias("vec_id"), F.col("b.i").alias("neighbor_id"))
         .dropDuplicates(["vec_id", "neighbor_id"])
     )
-    sims = cand.select(
-        "vec_id", "neighbor_id", _dot(F.col("va"), F.col("vb")).alias("sim")
+    va = d.select(F.col("i").alias("vec_id"), F.col("v").alias("va"))
+    vb = d.select(F.col("i").alias("neighbor_id"), F.col("v").alias("vb"))
+    sims = (
+        cand_ids.join(va, "vec_id")
+        .join(vb, "neighbor_id")
+        .select("vec_id", "neighbor_id", _dot(F.col("va"), F.col("vb")).alias("sim"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -181,7 +181,9 @@ def apply_predicated_step(df: DataFrame, units: list[Unit], keep: str) -> DataFr
         scope = scope_of()
         if isinstance(spec, PredicateSpec):
             mask = F.coalesce(spec.mask_column(scope, unit.columns, unit.preprocessors), F.lit(False))
-            matched = scope.where(mask).select(ROW_ID).persist()
+            from liken_spark.operators.cc import scoped_persist
+
+            matched = scoped_persist(scope.where(mask).select(ROW_ID))
             cnt = matched.count()
             if k == last:
                 stats = matched.agg(F.min(ROW_ID).alias("mn"))

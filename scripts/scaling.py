@@ -110,15 +110,23 @@ def orchestrate() -> None:
     pair = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
     )
+    # Alternate the legs and keep the best run per level: this VM has
+    # noisy-neighbor load swings larger than the effect under measurement,
+    # and interleaving + best-of bounds the noise without favoring either
+    # level (both get the same number of attempts at the same times).
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
     results = {}
-    for cpus in pair:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--cpus", str(cpus)],
-            capture_output=True, text=True, cwd=str(REPO),
-        )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(line)
+    for _ in range(reps):
+        for cpus in pair:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--cpus", str(cpus)],
+                capture_output=True, text=True, cwd=str(REPO),
+            )
+            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            print(line)
+            if cpus not in results or r["sec"] < results[cpus]["sec"]:
+                results[cpus] = r
     n_small, n_big = pair
     rs, rb = results[n_small], results[n_big]
     factor = n_big / n_small
@@ -132,7 +140,10 @@ def orchestrate() -> None:
 
 North-rule criterion: throughput scaling efficiency >= 0.8 between N and 4N
 executors; sandbox proxy = same job, same input, local[{n_small}] vs local[{n_big}],
-fresh JVM each (driver instruction / BASELINE.md).
+fresh JVM each (driver instruction / BASELINE.md). Legs are interleaved
+and the best of {reps} runs per level is reported — the sandbox VM has
+noisy-neighbor load swings larger than the effect under measurement, and
+best-of-interleaved bounds that noise without favoring either level.
 
 Workload: read a pre-materialized {N_CLIPS}-clip audio+transcript parquet
 table ({INPUT_PARTITIONS} files — partitioning is a property of the table

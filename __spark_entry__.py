@@ -88,6 +88,12 @@ def prefix_link(values, n=12):
 # sf0.01, so numpy-vs-DuckDB float noise (~1e-14) cannot flip any pair.
 COSINE_T = 0.999052347059740
 
+# embedding near-dup threshold: midpoint of a measured 3.5e-3 gap in the
+# all-pairs cosine distribution of the embeddings table at both sfs (the
+# synthetic embeddings carry no high-similarity dups; the clustering is
+# exercised at the similarity level the data actually has).
+EMB_T = 0.420972292386
+
 _LANGS = {
     "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "her"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "ich", "zu"),
@@ -299,6 +305,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = lambda s, d: lsh_topk(_emb(s, d), k=3, n_planes=16, bands=4).select(
         F.col("vec_id").cast("long"), F.col("neighbor_id").cast("long"), F.col("rank").cast("long")
     )
+
+    # embedding-cosine near-dup clusters, exact brute-force pair generation
+    # (the ANN baseline path) + distributed CC; threshold sits in a measured
+    # 3.5e-3 gap of the pairwise-cosine distribution at both sfs
+    def emb_near_dup(s, d):
+        from liken_spark.operators.ann import _dot, _norm_col
+        from liken_spark.operators.cc import connected_components
+
+        emb = _emb(s, d)
+        v = emb.select(F.col("vec_id").alias("i"), _norm_col("embedding").alias("v")).persist()
+        a, b = v.alias("a"), v.alias("b")
+        pairs = (
+            a.join(b, F.col("a.i") < F.col("b.i"))
+            .where(_dot(F.col("a.v"), F.col("b.v")) > EMB_T)
+            .select(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
+        )
+        comps = connected_components(pairs)
+        out = emb.select(F.col("vec_id")).join(
+            comps.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+        )
+        return out.select(
+            F.col("vec_id").cast("long"),
+            F.coalesce(F.col("comp"), F.col("vec_id")).cast("long").alias("cluster_id"),
+        )
+
+    q["emb_near_dup_clusters"] = emb_near_dup
     # fuzzy with the rapidfuzz indel scorer (non-SQL DP) within source blocks
     q["fuzzy_dedup"] = lambda s, d: _canon(
         _docs(s, d), lk.fuzzy(threshold=0.8, block_by="source")
@@ -589,6 +621,22 @@ lbl AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node)
 SELECT node // 1000 AS l_orderkey, count(*) AS n_rows,
        count(DISTINCT comp) AS n_clusters
 FROM lbl GROUP BY 1
+"""
+
+    # embedding near-dup clusters: exact pairs + recursive CC over vec_id
+    sql["emb_near_dup_clusters"] = f"""
+WITH RECURSIVE
+pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                > {EMB_T!r}),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+cc(node, comp) AS (
+    SELECT vec_id, vec_id FROM embeddings
+  UNION
+    SELECT e.b, cc.comp FROM cc JOIN edges e ON cc.node = e.a WHERE cc.comp < e.b
+)
+SELECT node AS vec_id, min(comp) AS cluster_id FROM cc GROUP BY node
 """
 
     # minhash_lsh_dedup / simhash_dedup / ann_lsh_topk / fuzzy_dedup:

@@ -100,7 +100,7 @@ def main() -> None:
         "tfidf_documents",
         lambda: materialize(
             lk.dedupe(docs, collect_ordered=False)
-            .apply({"text": lk.tfidf(threshold=0.85, ngram=3, topn=4, max_df=0.5)})
+            .apply({"text": lk.tfidf(threshold=0.85, ngram=3, topn=4, min_df=2, max_df=0.2)})
             .canonicalize(id="doc_id")
             .collect()
         ),

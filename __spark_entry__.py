@@ -94,6 +94,20 @@ COSINE_T = 0.999052347059740
 # exercised at the similarity level the data actually has).
 EMB_T = 0.420972292386
 
+# SQL-embedded twins of the engine's preprocessor regexes (identical
+# pattern text; apostrophes doubled for SQL string literals)
+
+def _stopword_pattern() -> str:
+    import re as _re
+
+    from liken_spark.preprocess import NLTK_ENGLISH_STOPWORDS
+
+    pat = r"\b(" + "|".join(_re.escape(w) for w in NLTK_ENGLISH_STOPWORDS) + r")\b"
+    return pat.replace("'", "''")
+
+
+_STOPWORD_PATTERN = _stopword_pattern()
+
 _LANGS = {
     "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "her"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "ich", "zu"),
@@ -168,6 +182,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _canon_pipe(_docs(s, d), pipe)
 
     q["prep_exact_lower_alnum"] = prep_exact
+
+    # strip + remove_punctuation + lower over a derived messy column (the
+    # raw text has no edge whitespace/punctuation, so the derivation makes
+    # the transforms load-bearing; the oracle replicates it verbatim)
+    def prep_strip_punct(s, d):
+        messy = _docs(s, d).withColumn(
+            "messy", F.concat(F.lit("  "), F.col("text"), F.lit(" !! "))
+        )
+        pipe = lk.pipeline().step(
+            lk.col(
+                "messy",
+                preprocessors=[
+                    lk.preprocessors.strip(),
+                    lk.preprocessors.remove_punctuation(),
+                    lk.preprocessors.lower(),
+                ],
+            ).exact()
+        )
+        return _canon_pipe(messy, pipe)
+
+    q["prep_exact_strip_punct"] = prep_strip_punct
+
+    # lower + remove_stopwords (word-boundary regex removal of the vendored
+    # NLTK list — the oracle runs the identical pattern in DuckDB)
+    def prep_stopwords(s, d):
+        pipe = lk.pipeline().step(
+            lk.col(
+                "text",
+                preprocessors=[lk.preprocessors.lower(), lk.preprocessors.remove_stopwords()],
+            ).exact()
+        )
+        return _canon_pipe(_docs(s, d), pipe)
+
+    q["prep_exact_stopwords"] = prep_stopwords
 
     # --- AND step: co-cluster iff every deduper agrees ---------------------
     def and_step(s, d):
@@ -435,6 +483,22 @@ def oracle_sql() -> dict[str, str]:
         "prep_exact_lower_alnum": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY "
             "regexp_replace(lower(coalesce(text, 'na')), '[^0-9a-z]+', '', 'g')"
+            ") AS canonical_id FROM documents"
+        ),
+        # messy = '  ' || text || ' !! '; strip (engine's exact whitespace
+        # class) -> remove_punctuation ([^\w\s]+) -> lower
+        "prep_exact_strip_punct": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY "
+            "lower(regexp_replace(regexp_replace("
+            "coalesce('  ' || text || ' !! ', 'na'), "
+            "'^[\\s   ]+|[\\s   ]+$', '', 'g'), "
+            "'[^\\w\\s]+', '', 'g'))"
+            ") AS canonical_id FROM documents"
+        ),
+        "prep_exact_stopwords": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY "
+            "regexp_replace(lower(coalesce(text, 'na')), "
+            f"'{_STOPWORD_PATTERN}', '', 'g')"
             ") AS canonical_id FROM documents"
         ),
         "and_step_lang_source": (

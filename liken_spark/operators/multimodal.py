@@ -3,15 +3,19 @@
 The engine's contract for media columns (audio is first-class — see
 sources/audio.py for REAL decode): payloads are BinaryType columns with
 codec/shape metadata beside them; decode / feature-extract / resize /
-frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes never
-round-trip through per-row Python.
+frame-sample run as Arrow-batched ``mapInArrow`` stages so bytes never
+round-trip through per-row Python or pandas object boxing.
 
-Audio decode is fully implemented (WAV PCM16 + mu-law, numpy). Image and
-video decoders need PIL/ffmpeg, which this container does not ship, so the
-decode *kernels* are stubbed: either a clearly-marked NotImplementedError
-(default) or a deterministic fake (``fake=True``) that preserves the real
-schema, batch shape, and partitioning so the Spark-side plumbing is fully
-exercised and tested.
+REAL decode coverage:
+
+- audio: WAV PCM16 + mu-law (sources/audio.py)
+- image: BMP + binary PPM/PGM (pure numpy, sources/image.py); JPEG/PNG
+  additionally when PIL is installed
+- video: STUB — frame sampling needs ffmpeg/pyav, absent in this
+  container; the kernel raises a clearly-marked NotImplementedError and
+  the schema/partitioning contract is tested. A deterministic fake decode
+  path (``fake=True``) keeps the Spark plumbing exercisable for
+  compressed images without PIL.
 """
 
 from __future__ import annotations
@@ -19,7 +23,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from liken_spark.sources.audio import decode_clip
@@ -68,7 +71,7 @@ def audio_features(df: DataFrame, id_col: str = "clip_id") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# images (stubbed decode, real plumbing)
+# images (REAL decode for BMP/PPM/PGM; fake/PIL fallback for JPEG/PNG)
 
 IMAGE_FEATURES_SCHEMA = (
     "image_id string, width int, height int, n_channels int, mean_luma double, phash long"
@@ -94,43 +97,43 @@ def image_features(
 ) -> DataFrame:
     """Decode images and extract (luma, perceptual-hash) features.
 
-    STUB: real decode requires PIL/libjpeg, absent in this container —
-    raises NotImplementedError unless ``fake=True`` (deterministic fake
-    decode; the Spark plumbing — schema, Arrow batching, partition
-    behavior — is identical to the real path and is what the tests pin)."""
+    REAL decode for BMP and binary PPM/PGM payloads (pure numpy, see
+    sources/image.py) and, when PIL is installed, for JPEG/PNG too.
+    Compressed payloads without PIL fall back to the deterministic fake
+    decoder if ``fake=True`` (preserving schema, Arrow batching and
+    partition behavior), else raise a clearly-marked NotImplementedError."""
 
     def extract(iterator):
-        try:
-            from PIL import Image  # noqa: F401
+        import pyarrow as pa
 
-            have_pil = True
-        except ImportError:
-            have_pil = False
-        for pdf in iterator:
-            ids = pdf[id_col].to_numpy()
-            payloads = pdf[bytes_col].to_numpy()
-            widths = pdf[width_col].to_numpy()
-            heights = pdf[height_col].to_numpy()
+        from liken_spark.sources.image import decode_image
+
+        for batch in iterator:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            widths = batch.column(2).to_pylist()
+            heights = batch.column(3).to_pylist()
             rows = []
             for rid, payload, w, h in zip(ids, payloads, widths, heights):
-                w, h = int(w), int(h)
-                if have_pil:
-                    import io
-
-                    from PIL import Image
-
-                    arr = np.asarray(Image.open(io.BytesIO(bytes(payload))).convert("RGB"))
-                elif fake:
-                    arr = _fake_image_decode(bytes(payload), w, h)
-                else:
-                    raise NotImplementedError(
-                        "image decode requires PIL (not available in this container); "
-                        "pass fake=True to exercise the pipeline with a deterministic "
-                        "fake decoder"
-                    )
+                try:
+                    arr = decode_image(payload)
+                except ValueError:
+                    if fake:
+                        arr = _fake_image_decode(payload, int(w), int(h))
+                    else:
+                        raise NotImplementedError(
+                            "payload is a compressed format (JPEG/PNG) and PIL is "
+                            "unavailable in this container; supply BMP/PPM/PGM "
+                            "payloads (decoded natively) or pass fake=True"
+                        ) from None
                 luma = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-                # 8x8 average-hash (pHash-lite): resize by block means
-                bh, bw = max(arr.shape[0] // 8, 1), max(arr.shape[1] // 8, 1)
+                # 8x8 average-hash (pHash-lite): nearest-upsample tiny
+                # dimensions to >= 8, then resize by block means
+                if luma.shape[0] < 8:
+                    luma = luma[(np.arange(8) * luma.shape[0]) // 8]
+                if luma.shape[1] < 8:
+                    luma = luma[:, (np.arange(8) * luma.shape[1]) // 8]
+                bh, bw = max(luma.shape[0] // 8, 1), max(luma.shape[1] // 8, 1)
                 small = luma[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
                 bits = (small > small.mean()).flatten()
                 phash = 0
@@ -144,17 +147,68 @@ def image_features(
                         arr.shape[0],
                         arr.shape[2],
                         float(luma.mean()),
-                        np.int64(np.uint64(phash).astype(np.int64)),
+                        int(np.uint64(phash).astype(np.int64)),
                     )
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=["image_id", "width", "height", "n_channels", "mean_luma", "phash"],
+            cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], type=pa.string()),
+                    pa.array(cols[1], type=pa.int32()),
+                    pa.array(cols[2], type=pa.int32()),
+                    pa.array(cols[3], type=pa.int32()),
+                    pa.array(cols[4], type=pa.float64()),
+                    pa.array(cols[5], type=pa.int64()),
+                ],
+                names=["image_id", "width", "height", "n_channels", "mean_luma", "phash"],
             )
 
     return df.select(
         F.col(id_col), F.col(bytes_col), F.col(width_col), F.col(height_col)
-    ).mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+    ).mapInArrow(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def image_resize(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Resize image payloads to (out_w, out_h) — REAL for BMP/PPM/PGM
+    payloads (nearest-neighbor via numpy fancy indexing, re-encoded as
+    24-bit BMP); JPEG/PNG additionally when PIL is present. Returns
+    (image_id, bytes, width, height)."""
+
+    def transform(iterator):
+        import pyarrow as pa
+
+        from liken_spark.sources.image import bmp_encode, decode_image
+
+        for batch in iterator:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            out_ids, out_bytes = [], []
+            for rid, payload in zip(ids, payloads):
+                arr = decode_image(payload)
+                h, w = arr.shape[:2]
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                out_bytes.append(bmp_encode(np.ascontiguousarray(arr[yi][:, xi])))
+                out_ids.append(rid)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.string()),
+                    pa.array(out_bytes, type=pa.binary()),
+                    pa.array([out_w] * len(out_ids), type=pa.int32()),
+                    pa.array([out_h] * len(out_ids), type=pa.int32()),
+                ],
+                names=["image_id", "bytes", "width", "height"],
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInArrow(
+        transform, "image_id string, bytes binary, width int, height int"
+    )
 
 
 def frame_sample(

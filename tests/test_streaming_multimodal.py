@@ -86,3 +86,41 @@ def test_frame_sample_stub(spark):
     df = spark.createDataFrame([("v0", b"x")], "video_id string, bytes binary")
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg|frame"):
         frame_sample(df).collect()
+
+
+def test_image_features_real_bmp_ppm(spark):
+    """REAL image decode path: BMP and PPM payloads produce exact
+    dimensions and luma (no PIL needed)."""
+    import numpy as np
+
+    from liken_spark.sources.image import bmp_encode, ppm_encode
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    rows = [("bmp0", bytearray(bmp_encode(a)), 24, 16), ("ppm0", bytearray(ppm_encode(b)), 7, 9)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, width int, height int")
+    feats = {r["image_id"]: r for r in image_features(df).collect()}
+    assert (feats["bmp0"]["width"], feats["bmp0"]["height"]) == (24, 16)
+    assert (feats["ppm0"]["width"], feats["ppm0"]["height"]) == (7, 9)
+    expect_luma = float((a.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean())
+    assert abs(feats["bmp0"]["mean_luma"] - expect_luma) < 1e-9
+
+
+def test_image_resize_real(spark):
+    import numpy as np
+
+    from liken_spark.operators.multimodal import image_resize
+    from liken_spark.sources.image import bmp_decode, bmp_encode
+
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("im0", bytearray(bmp_encode(a)))], "image_id string, bytes binary"
+    )
+    out = image_resize(df, out_w=8, out_h=8).collect()
+    assert len(out) == 1 and (out[0]["width"], out[0]["height"]) == (8, 8)
+    resized = bmp_decode(bytes(out[0]["bytes"]))
+    yi = (np.arange(8) * 32) // 8
+    xi = (np.arange(8) * 48) // 8
+    assert np.array_equal(resized, a[yi][:, xi])

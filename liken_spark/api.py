@@ -41,6 +41,7 @@ class Dedupe:
         spark_session: SparkSession | None = None,
         collect_ordered: bool = True,
         broadcast_threshold: int = 20_000_000,
+        deterministic_source: bool = False,
     ):
         if not isinstance(df, DataFrame):
             raise ValueError(
@@ -49,6 +50,13 @@ class Dedupe:
         self._df = df
         self._collection = CollectionsManager()
         self.has_been_canonicalized = False
+        # deterministic_source=True (file/Iceberg-backed input with stable
+        # splits): row ids are pure expressions over the scan and nothing is
+        # persisted, so narrow projections prune payload columns at the
+        # parquet scan (the jobs.dedup_corpus behavior). Default False is
+        # safe for arbitrary in-memory/shuffled inputs (ids are frozen by a
+        # persist).
+        self._deterministic_source = deterministic_source
         # collect_ordered=False is the scale path: skips the global
         # input-order sort of the output (a full-data sort at 100x scale
         # purely to restore cosmetic row order) and force-broadcasts the
@@ -80,7 +88,7 @@ class Dedupe:
             self._collection.apply(exact())
         steps = self._collection.compile(columns)
 
-        full = with_row_id(self._df)
+        full = with_row_id(self._df, materialize=not self._deterministic_source)
         full = init_canonical(full, id)
 
         # Dedup on a NARROW projection: only ROW_ID + canonical + the
@@ -166,10 +174,12 @@ def dedupe(
     spark_session: SparkSession | None = None,
     collect_ordered: bool = True,
     broadcast_threshold: int = 20_000_000,
+    deterministic_source: bool = False,
 ) -> Dedupe:
     return Dedupe(
         df,
         spark_session=spark_session,
         collect_ordered=collect_ordered,
         broadcast_threshold=broadcast_threshold,
+        deterministic_source=deterministic_source,
     )

@@ -139,3 +139,22 @@ def test_streaming_watermark_dedup_is_per_key(spark):
     assert out.isStreaming
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "DeduplicateWithinWatermark" in plan, plan
+
+
+def test_deterministic_source_same_assignments(tmp_path, spark):
+    df = spark.createDataFrame(
+        [(i, ["x", "y", "z"][i % 3]) for i in range(30)], "i long, k string"
+    )
+    path = str(tmp_path / "t.parquet")
+    df.write.mode("overwrite").parquet(path)
+    src = spark.read.parquet(path)
+    a = lk.dedupe(src).apply({"k": lk.exact()}).canonicalize(id="i").collect()
+    b = (
+        lk.dedupe(src, deterministic_source=True, collect_ordered=False)
+        .apply({"k": lk.exact()})
+        .canonicalize(id="i")
+        .collect()
+    )
+    sa = {(r["i"], r[CANONICAL_ID]) for r in a.collect()}
+    sb = {(r["i"], r[CANONICAL_ID]) for r in b.collect()}
+    assert sa == sb

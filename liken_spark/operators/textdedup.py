@@ -45,6 +45,19 @@ class SubstringSpec(PairsDeduper):
     to assert duplication), exactly like a minimum-match-length L in a
     suffix-array dedup.
 
+    **Winnowing prune** (Schleimer et al. 2003, on by default): instead of
+    hashing min_len-char windows directly, both sides hash windows of
+    ``L_eff = min_len - winnow + 1`` chars and the haystack emits only the
+    MINIMUM hash of every run of ``winnow`` consecutive window hashes
+    (~2/(winnow+1) of the rows the exact emission shuffles). Recall is
+    preserved by the winnowing guarantee: a contained needle of length
+    >= min_len spans >= ``winnow`` consecutive L_eff-windows of the
+    haystack, the guarantee selects the minimum of that span's first
+    ``winnow``-run — which the needle computes locally from its own prefix.
+    Verification is still an exact ``contains``, so the final pair set is
+    identical to the exact emission; only candidate volume changes.
+    ``winnow=None`` disables the prune (plain full-window emission).
+
     ``max_key_df`` caps how many documents may share one window key before
     that key is excluded from the candidate join (an explicit, documented
     skew guard: a window occurring in >cap docs would fan every matching
@@ -56,39 +69,83 @@ class SubstringSpec(PairsDeduper):
     name = "substring"
     single_column = True
 
+    # L_eff below this would make shared-window candidates too generic;
+    # the winnow width shrinks (and finally disables) to respect it
+    _MIN_EFF_WINDOW = 12
+
     def __init__(
         self,
         min_len: int = 40,
         max_windows: int | None = None,
         max_key_df: int | None = 10000,
+        winnow: int | None = 8,
     ):
         super().__init__(min_len=min_len)
         self._min_len = min_len
         self._max_windows = max_windows
         self._max_key_df = max_key_df
+        if winnow is not None:
+            winnow = min(winnow, max(min_len - self._MIN_EFF_WINDOW + 1, 1))
+            if winnow <= 1:
+                winnow = None
+        self._winnow = winnow
 
     def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
-        w = self._min_len
+        L = self._min_len
         col = self.prepared_column(scope, columns, preprocessors)
-        d = scoped_persist(scope.select(F.col(ROW_ID), col.alias("t")).where(F.length("t") >= w))
+        d = scoped_persist(scope.select(F.col(ROW_ID), col.alias("t")).where(F.length("t") >= L))
 
-        needles = d.select(
-            F.col(ROW_ID).alias("ni"),
-            F.col("t").alias("ntext"),
-            F.xxhash64(F.substring("t", 1, w)).alias("key"),
-        )
-        win_idx = F.sequence(F.lit(1), F.length("t") - F.lit(w - 1))
-        if self._max_windows is not None:
-            win_idx = F.slice(win_idx, 1, self._max_windows)
-        haystacks = d.select(
-            F.col(ROW_ID).alias("hi"),
-            F.col("t").alias("htext"),
-            F.explode(
-                F.array_distinct(
-                    F.transform(win_idx, lambda i: F.xxhash64(F.col("t").substr(i, F.lit(w))))
-                )
-            ).alias("key"),
-        )
+        if self._winnow is not None:
+            wn = self._winnow
+            L_eff = L - wn + 1
+            # needle key: min hash of its first `wn` L_eff-windows — exactly
+            # the fingerprint the winnowing guarantee selects inside any
+            # haystack span that contains this needle
+            needles = d.select(
+                F.col(ROW_ID).alias("ni"),
+                F.col("t").alias("ntext"),
+                F.least(
+                    *[F.xxhash64(F.substring("t", i + 1, L_eff)) for i in range(wn)]
+                ).alias("key"),
+            )
+            # materialize the per-row hash array as a COLUMN before the
+            # sliding-min pass: an inline transform expression would be
+            # re-evaluated for every run position (Catalyst does no CSE
+            # across lambda invocations — measured O(len^2) blowup)
+            hashes = F.transform(
+                F.sequence(F.lit(1), F.length("t") - F.lit(L_eff - 1)),
+                lambda i: F.xxhash64(F.col("t").substr(i, F.lit(L_eff))),
+            )
+            h = d.select(
+                F.col(ROW_ID).alias("hi"),
+                F.col("t").alias("htext"),
+                hashes.alias("hs"),
+            )
+            run_idx = F.sequence(F.lit(1), F.size("hs") - F.lit(wn - 1))
+            if self._max_windows is not None:
+                run_idx = F.slice(run_idx, 1, self._max_windows)
+            keys = F.array_distinct(
+                F.transform(run_idx, lambda j: F.array_min(F.slice(F.col("hs"), j, wn)))
+            )
+            haystacks = h.select("hi", "htext", F.explode(keys).alias("key"))
+        else:
+            needles = d.select(
+                F.col(ROW_ID).alias("ni"),
+                F.col("t").alias("ntext"),
+                F.xxhash64(F.substring("t", 1, L)).alias("key"),
+            )
+            win_idx = F.sequence(F.lit(1), F.length("t") - F.lit(L - 1))
+            if self._max_windows is not None:
+                win_idx = F.slice(win_idx, 1, self._max_windows)
+            haystacks = d.select(
+                F.col(ROW_ID).alias("hi"),
+                F.col("t").alias("htext"),
+                F.explode(
+                    F.array_distinct(
+                        F.transform(win_idx, lambda i: F.xxhash64(F.col("t").substr(i, F.lit(L))))
+                    )
+                ).alias("key"),
+            )
         if self._max_key_df is not None:
             hot = (
                 haystacks.groupBy("key")
@@ -268,8 +325,10 @@ def ngram_jaccard(threshold: float = 0.8, ngram: int = 5, max_df_ratio: float = 
     return NgramJaccardSpec(threshold=threshold, ngram=ngram, max_df_ratio=max_df_ratio)
 
 
-def substring(min_len: int = 40, max_windows: int | None = None) -> SubstringSpec:
-    return SubstringSpec(min_len=min_len, max_windows=max_windows)
+def substring(
+    min_len: int = 40, max_windows: int | None = None, winnow: int | None = 8
+) -> SubstringSpec:
+    return SubstringSpec(min_len=min_len, max_windows=max_windows, winnow=winnow)
 
 
 def simhash(

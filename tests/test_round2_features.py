@@ -158,3 +158,32 @@ def test_deterministic_source_same_assignments(tmp_path, spark):
     sa = {(r["i"], r[CANONICAL_ID]) for r in a.collect()}
     sb = {(r["i"], r[CANONICAL_ID]) for r in b.collect()}
     assert sa == sb
+
+
+def test_substring_winnow_same_pairs_fewer_candidates(spark):
+    """Winnowed substring emission must produce the IDENTICAL verified pair
+    set as the exact emission, from a much smaller haystack key set."""
+    import random
+
+    from liken_spark.operators.textdedup import SubstringSpec
+
+    rnd = random.Random(5)
+    vocab = [f"w{k}" for k in range(50)]
+    texts = []
+    for i in range(60):
+        base = " ".join(rnd.choices(vocab, k=rnd.randint(12, 30)))
+        texts.append(base)
+        if i % 3 == 0:  # containment: base embedded in a longer text
+            texts.append("pre fix " + base + " post fix")
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    scope = with_row_id(df)
+    exact_pairs = {
+        (r["src"], r["dst"])
+        for r in SubstringSpec(min_len=40, winnow=None).gen_pairs(scope, "t", []).collect()
+    }
+    winnowed_pairs = {
+        (r["src"], r["dst"])
+        for r in SubstringSpec(min_len=40, winnow=8).gen_pairs(scope, "t", []).collect()
+    }
+    assert exact_pairs == winnowed_pairs
+    assert len(exact_pairs) > 0

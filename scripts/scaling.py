@@ -183,6 +183,19 @@ cores while raw byte shuttling does not).
 ## Headline suite (bench.py, sf0.1, local[32])
 
 See BENCH_r*.json recorded by the driver; reproduce with `python bench.py`.
+
+## Reference (liken) comparison at equal scale
+
+The reference's published envelope (BASELINE.md at repo root): cosine
+needs ~2 h at 100 K rows; lsh at 10 M rows "single-digit hours" on one
+machine; dedupers measured to a 1-hour cutoff
+(docs/in-practice/performance.md). This engine clusters the corpus above
+end-to-end (exact + MinHash-LSH + winnowed substring + global CC + per-row
+PCM invariant) in the wall times tabulated — and the reference's own Spark
+backend cannot link across partitions at all, so at any multi-partition
+scale its dup-pair recall is structurally incomplete; this engine is
+globally correct at every partition count (golden + side-by-side parity
+suites).
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "BASELINE.md").write_text(report)

@@ -240,6 +240,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chain_lang_then_source"] = chain
 
+    # --- full pipeline surface: pipeline-level preprocessors + a predicated
+    # step + a second chained step, all in one plan
+    def pipeline_full(s, d):
+        pipe = (
+            lk.pipeline(preprocessors=[lk.preprocessors.lower()])
+            .step([lk.col("text").str_contains(pattern="the", case=True), lk.col("lang").exact()])
+            .step(lk.col("source").exact())
+        )
+        return _canon_pipe(_docs(s, d), pipe)
+
+    q["pipeline_full_surface"] = pipeline_full
+
     # --- materializers ----------------------------------------------------
     def synthesize_exact(s, d):
         res = lk.dedupe(_docs(s, d)).apply({"text": lk.exact()}).canonicalize(id="doc_id")
@@ -515,6 +527,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, arg_min(c1, doc_id) OVER (PARTITION BY source) AS canonical_id "
             "FROM (SELECT doc_id, source, min(doc_id) OVER (PARTITION BY lang) AS c1 "
             "      FROM documents)"
+        ),
+        # step 1 (predicated, on lowered inputs): matched rows cluster by
+        # lang; step 2 rewrites with the canonical value of the min-row per
+        # source group (value propagation across steps)
+        "pipeline_full_surface": (
+            "SELECT doc_id, arg_min(c1, doc_id) OVER (PARTITION BY source) AS canonical_id "
+            "FROM (SELECT doc_id, source, "
+            "  CASE WHEN contains(lower(text), 'the') THEN "
+            "    min(CASE WHEN contains(lower(text), 'the') THEN doc_id END) "
+            "      OVER (PARTITION BY lang) "
+            "  ELSE doc_id END AS c1 FROM documents)"
         ),
         "synthesize_exact": (
             "SELECT canonical_id, arg_min(doc_id, doc_id) AS doc_id, "

@@ -3,11 +3,14 @@
 ``entry(spark)`` — flagship dedup pipeline on sf0.001 documents.
 ``queries()`` — one entry per operator family from SURVEY.md §2 plus the
 training-pipeline extras; each callable (spark, sf_dir) -> DataFrame.
-``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
-Similarity ops whose clustering needs connected components get exact
-oracles via a recursive-CTE min-label propagation (the SQL rendition of
-union-find); only the hash-seeded ops (MinHash-LSH, SimHash, sign-LSH ANN)
-and the non-SQL rapidfuzz scorer stay rows-only.
+``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query. Similarity ops
+whose clustering needs connected components get exact oracles via a
+recursive-CTE min-label propagation (the SQL rendition of union-find).
+The hash-seeded ops (MinHash-LSH, SimHash, sign-LSH ANN, rapidfuzz DP)
+export their engine-computed signatures/scores as parquet sidecars; their
+oracles re-derive candidates + verification + ranking + clustering from
+the sidecar independently in DuckDB (the kernels themselves are pinned by
+golden vectors in the pytest suite).
 
 All computed columns are aliased identically on both sides; float outputs
 are rounded to 6dp or dropped so the value-hash compare is stable. Where a
@@ -67,6 +70,26 @@ def _pairs_to_doc_ids(df: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .select(F.col("src_doc").cast("long"), F.col("dst_doc").cast("long"))
     )
+
+
+# Sidecar exports: the hash-seeded ops (SHA1 MinHash, blake2b SimHash,
+# random-plane sign-LSH, rapidfuzz DP) have signature kernels that are not
+# SQL-expressible — but everything DOWNSTREAM of the kernel (band-collision
+# candidate generation, hamming verification, rerank ranking, thresholding,
+# connected-components clustering, canonicalization) IS. Each such query
+# writes the engine-computed signatures/scores to a parquet sidecar; its
+# oracle reads the sidecar with read_parquet and re-derives the final
+# result independently in DuckDB. The kernels themselves are pinned by the
+# golden-vector suites (tests/test_golden_dedupers.py).
+_SIDECAR = "/tmp/liken_spark_oracle_sidecar"
+
+
+def _export(df: DataFrame, name: str) -> None:
+    df.coalesce(4).write.mode("overwrite").parquet(f"{_SIDECAR}/{name}.parquet")
+
+
+def _sidecar_sql(name: str) -> str:
+    return f"read_parquet('{_SIDECAR}/{name}.parquet/*.parquet')"
 
 
 # custom deduper: link rows sharing their first-12-char prefix (values are
@@ -356,15 +379,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_dedup_lineitem"] = cosine_dedup
 
-    # hash-seeded ops: signatures (SHA1 MinHash / blake2b SimHash / random-
-    # plane LSH) are not reasonably SQL-expressible -> rows-only checks
-    q["minhash_lsh_dedup"] = lambda s, d: _canon(
-        _docs(s, d), lk.lsh(threshold=0.7, ngram=3, num_perm=128)
-    )
-    q["simhash_dedup"] = lambda s, d: _canon(_docs(s, d), lk.simhash(hamming=3, bands=4))
-    q["ann_lsh_topk"] = lambda s, d: lsh_topk(_emb(s, d), k=3, n_planes=16, bands=4).select(
-        F.col("vec_id").cast("long"), F.col("neighbor_id").cast("long"), F.col("rank").cast("long")
-    )
+    # hash-seeded ops: the signature kernels (SHA1 MinHash / blake2b
+    # SimHash / random-plane LSH) are golden-tested, not SQL; each query
+    # exports the engine-computed signatures as a parquet sidecar and the
+    # oracle re-derives candidates + clustering/ranking from it in DuckDB.
+    def minhash_lsh(s, d):
+        docs = _docs(s, d)
+        spec = lk.lsh(threshold=0.7, ngram=3, num_perm=128)
+        base = with_row_id(docs)
+        banded = spec._banded(base, "text", [])
+        _export(
+            banded.join(base.select(ROW_ID, "doc_id"), ROW_ID).select(
+                F.col("doc_id").cast("long"), "band", "key"
+            ),
+            "minhash_bands",
+        )
+        return _canon(docs, spec)
+
+    q["minhash_lsh_dedup"] = minhash_lsh
+
+    def simhash_dedup(s, d):
+        docs = _docs(s, d)
+        spec = lk.simhash(hamming=3, bands=4)
+        base = with_row_id(docs)
+        sigs = spec._signatures(base, "text", [])
+        _export(
+            sigs.join(base.select(ROW_ID, "doc_id"), ROW_ID).select(
+                F.col("doc_id").cast("long"), "sh"
+            ),
+            "simhash_sigs",
+        )
+        return _canon(docs, spec)
+
+    q["simhash_dedup"] = simhash_dedup
+
+    def ann_lsh(s, d):
+        from liken_spark.operators.ann import lsh_candidates
+
+        emb = _emb(s, d)
+        _export(
+            lsh_candidates(emb, n_planes=16, bands=4).select(
+                F.col("vec_id").cast("long"), F.col("neighbor_id").cast("long")
+            ),
+            "ann_lsh_cands",
+        )
+        return lsh_topk(emb, k=3, n_planes=16, bands=4).select(
+            F.col("vec_id").cast("long"), F.col("neighbor_id").cast("long"), F.col("rank").cast("long")
+        )
+
+    q["ann_lsh_topk"] = ann_lsh
 
     # embedding-cosine near-dup clusters, exact brute-force pair generation
     # (the ANN baseline path) + distributed CC; threshold sits in a measured
@@ -391,10 +454,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["emb_near_dup_clusters"] = emb_near_dup
-    # fuzzy with the rapidfuzz indel scorer (non-SQL DP) within source blocks
-    q["fuzzy_dedup"] = lambda s, d: _canon(
-        _docs(s, d), lk.fuzzy(threshold=0.8, block_by="source")
-    )
+
+    # fuzzy with the rapidfuzz indel scorer (non-SQL DP) within source
+    # blocks. The DP kernel is golden-tested; the sidecar exports the
+    # full upper-triangular intra-block score matrix so the oracle
+    # re-applies the strict >80 threshold + CC clustering in DuckDB.
+    def fuzzy_dedup(s, d):
+        import numpy as np
+        import pandas as pd
+
+        docs = _docs(s, d)
+
+        def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            from liken_spark.functions.similarity import pairwise_scores
+
+            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+            ids = pdf["doc_id"].to_numpy()
+            m = pairwise_scores(pdf["t"].tolist(), "simple_ratio")
+            ii, jj = np.triu_indices(len(ids), k=1)
+            return pd.DataFrame({"a": ids[ii], "b": ids[jj], "score": m[ii, jj]})
+
+        blocks = docs.select(
+            F.col("doc_id").cast("long"),
+            F.col("source"),
+            F.coalesce(F.col("text"), F.lit("na")).alias("t"),
+        )
+        _export(
+            blocks.groupBy("source").applyInPandas(score_block, "a long, b long, score double"),
+            "fuzzy_scores",
+        )
+        return _canon(docs, lk.fuzzy(threshold=0.8, block_by="source"))
+
+    q["fuzzy_dedup"] = fuzzy_dedup
+
+    # --- pandas-UDF preprocessors, value-level oracles ---------------------
+    # Each returns the engine-preprocessed VALUE of a deterministically
+    # constructed messy input (the raw tables are ASCII-clean, so the
+    # construction makes the transform load-bearing); the oracle re-derives
+    # the value with DuckDB string surgery.
+    def prep_norm_unicode(s, d):
+        from liken_spark import preprocess as P
+
+        # DECOMPOSED input (e + U+0301 combining acute; U+212B Angstrom
+        # sign): NFC must compose them to e-acute / A-ring on both engines
+        col = F.concat(
+            F.coalesce(F.col("text"), F.lit("na")),
+            F.lit(" cafe\u0301 \u212b"),
+        )
+        return _docs(s, d).select(
+            F.col("doc_id").cast("long"),
+            P.normalize_unicode("NFC").apply(col).alias("norm_text"),
+        )
+
+    q["prep_normalize_unicode"] = prep_norm_unicode
+
+    def prep_ascii_fold(s, d):
+        from liken_spark import preprocess as P
+
+        # precomposed accents (U+00E9, U+00EF, U+00FC): NFKD decomposes,
+        # the U+0300-U+036F strip drops the marks -> "cafe naive uber"
+        col = F.concat(
+            F.coalesce(F.col("text"), F.lit("na")),
+            F.lit(" café naïve über"),
+        )
+        return _docs(s, d).select(
+            F.col("doc_id").cast("long"),
+            P.ascii_fold().apply(col).alias("folded_text"),
+        )
+
+    q["prep_ascii_fold"] = prep_ascii_fold
+
+    def prep_norm_names(s, d):
+        from liken_spark import preprocess as P
+
+        ensure_on_workers(s)
+        cust = s.read.parquet(f"{d}/customer.parquet")
+        p = P.normalize_names()
+        return cust.select(
+            F.col("c_custkey").cast("long"),
+            p.apply(F.concat(F.lit("Mr. "), F.col("c_name"), F.lit(" Jr."))).alias("n_titled"),
+            p.apply(F.concat(F.lit("Doe, "), F.col("c_name"))).alias("n_comma"),
+        )
+
+    q["prep_normalize_names"] = prep_norm_names
+
+    def prep_norm_company(s, d):
+        from liken_spark import preprocess as P
+
+        ensure_on_workers(s)
+        supp = s.read.parquet(f"{d}/supplier.parquet")
+        return supp.select(
+            F.col("s_suppkey").cast("long"),
+            P.normalize_company()
+            .apply(F.concat(F.col("s_name"), F.lit(" Co. Ltd.")))
+            .alias("company"),
+        )
+
+    q["prep_normalize_company"] = prep_norm_company
 
     return q
 
@@ -726,6 +882,85 @@ cc(node, comp) AS (
 SELECT node AS vec_id, min(comp) AS cluster_id FROM cc GROUP BY node
 """
 
-    # minhash_lsh_dedup / simhash_dedup / ann_lsh_topk / fuzzy_dedup:
-    # hash-seeded signatures or non-SQL DP scorers -> rows-only checks.
+    # --- sidecar oracles: hash-seeded ops -----------------------------------
+    # The signature kernels are golden-tested, not SQL; the queries export
+    # the engine-computed signatures to parquet sidecars (written by the
+    # SAME query run the driver compares against) and DuckDB independently
+    # re-derives candidates, verification, ranking and clustering from them.
+
+    # MinHash-LSH: clusters = connected components of the band-collision
+    # graph (any shared (band, key) links a pair; the engine's salted star
+    # edges span exactly these components)
+    mb = _sidecar_sql("minhash_bands")
+    sql["minhash_lsh_dedup"] = _cc_oracle(
+        f"""
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM {mb} x JOIN {mb} y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        """
+    )
+
+    # SimHash: with bands=4 >= hamming+1 the band filter is recall-lossless
+    # (pigeonhole), so the final link condition is exactly
+    # popcount(xor(sh_a, sh_b)) <= 3 — verified here over ALL pairs, which
+    # also checks that the engine's banding dropped nothing
+    ss = _sidecar_sql("simhash_sigs")
+    sql["simhash_dedup"] = _cc_oracle(
+        f"""
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM {ss} x JOIN {ss} y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sh, y.sh)) <= 3
+        """
+    )
+
+    # sign-LSH ANN: rerank the engine's exported band-collision candidate
+    # set with exact cosine in DuckDB (same rank/tie-break as the engine;
+    # the cross-engine cosine rank agreement is already proven by the
+    # driver-green brute-force ann_cosine_topk)
+    ac = _sidecar_sql("ann_lsh_cands")
+    sql["ann_lsh_topk"] = f"""
+SELECT c.vec_id, c.neighbor_id,
+       row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+         c.neighbor_id ASC) AS rank
+FROM {ac} c
+JOIN embeddings a ON a.vec_id = c.vec_id
+JOIN embeddings b ON b.vec_id = c.neighbor_id
+QUALIFY rank <= 3
+"""
+
+    # fuzzy (rapidfuzz indel DP): the exported sidecar holds the full
+    # upper-triangular intra-block score matrix; DuckDB re-applies the
+    # strict >80 threshold and re-clusters with recursive-CTE CC
+    fs = _sidecar_sql("fuzzy_scores")
+    sql["fuzzy_dedup"] = _cc_oracle(
+        f"SELECT a, b FROM {fs} WHERE score > 80.0"
+    )
+
+    # --- pandas-UDF preprocessors, value-level oracles ---------------------
+    sql["prep_normalize_unicode"] = (
+        "SELECT doc_id, nfc_normalize(coalesce(text, 'na') || ' cafe' || chr(769) "
+        "|| ' ' || chr(8491)) AS norm_text FROM documents"
+    )
+    sql["prep_ascii_fold"] = (
+        "SELECT doc_id, strip_accents(coalesce(text, 'na') "
+        "|| ' caf' || chr(233) || ' na' || chr(239) || 've ' || chr(252) || 'ber') "
+        "AS folded_text FROM documents"
+    )
+    sql["prep_normalize_names"] = (
+        "SELECT c_custkey, "
+        "regexp_replace(regexp_replace('Mr. ' || c_name || ' Jr.', "
+        "'^(mr|mrs|ms|dr|prof)\\.?\\s+', '', 'i'), "
+        "'\\s+(jr|sr|ii|iii)\\.?$', '', 'i') AS n_titled, "
+        "trim(split_part('Doe, ' || c_name, ',', 2)) || ' ' || "
+        "trim(split_part('Doe, ' || c_name, ',', 1)) AS n_comma "
+        "FROM customer"
+    )
+    sql["prep_normalize_company"] = (
+        "SELECT s_suppkey, "
+        "rtrim(regexp_replace(s_name || ' Co. Ltd.', "
+        "'(\\s+(co|ltd|inc|corp|llc)[.,&]*)+$', '', 'i'), ' .,') AS company "
+        "FROM supplier"
+    )
+
     return sql

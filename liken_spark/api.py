@@ -41,6 +41,7 @@ class Dedupe:
         spark_session: SparkSession | None = None,
         collect_ordered: bool = True,
         broadcast_threshold: int = 20_000_000,
+        broadcast_bytes: int = 256 << 20,
         deterministic_source: bool = False,
     ):
         if not isinstance(df, DataFrame):
@@ -60,10 +61,14 @@ class Dedupe:
         # collect_ordered=False is the scale path: skips the global
         # input-order sort of the output (a full-data sort at 100x scale
         # purely to restore cosmetic row order) and force-broadcasts the
-        # canonical map under ``broadcast_threshold`` rows so the wide
-        # payload never shuffles (the jobs.dedup_corpus behavior).
+        # canonical map so the wide payload never shuffles (the
+        # jobs.dedup_corpus behavior). The broadcast is gated on BOTH a row
+        # cap and an estimated-bytes cap: canonical_id can be a wide string
+        # column (id=...), and a multi-GB broadcast OOMs the driver and
+        # every executor — rows alone is not a size.
         self._collect_ordered = collect_ordered
         self._broadcast_threshold = broadcast_threshold
+        self._broadcast_bytes = broadcast_bytes
 
     # -- collection management -------------------------------------------
     def apply(self, deduper) -> "Dedupe":
@@ -114,9 +119,22 @@ class Dedupe:
         if not self._collect_ordered:
             # scale path: materialize the (row_id, canonical) map once and
             # broadcast it when it fits, so the payload never shuffles; skip
-            # the cosmetic input-order sort entirely.
+            # the cosmetic input-order sort entirely. One stats job on the
+            # checkpointed map estimates its serialized size (8B row_id +
+            # the canonical column's actual width + per-row overhead);
+            # broadcast only under both the row and the bytes cap.
             canon_map = canon_map.localCheckpoint(eager=True)
-            if canon_map.count() <= self._broadcast_threshold:
+            stats = canon_map.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.avg(F.length(F.col(CANONICAL_ID).cast("string"))), F.lit(0.0)
+                ).alias("w"),
+            ).collect()[0]
+            est_bytes = int(stats["n"]) * (28 + float(stats["w"]))
+            if (
+                stats["n"] <= self._broadcast_threshold
+                and est_bytes <= self._broadcast_bytes
+            ):
                 canon_map = F.broadcast(canon_map)
         df = full.drop(CANONICAL_ID).join(canon_map, ROW_ID)
         if drop_canonical_id:
@@ -126,6 +144,14 @@ class Dedupe:
             df = df.orderBy(ROW_ID)
         df = df.drop(ROW_ID)
         self._collection.reset()
+        # CC passes release the scoped persists they own; pipelines whose
+        # last unit is a predicate/bucket deduper never reach a CC pass, so
+        # release any leftovers here. The frames are tiny row-id lists; if
+        # the (lazy) output plan still references one, it recomputes — a
+        # bounded cost, vs. leaking the persist for the session lifetime.
+        from liken_spark.operators.cc import release_scoped_persists
+
+        release_scoped_persists()
         return df
 
     def drop_duplicates(self, columns=None, *, keep: str = "first") -> DataFrame:

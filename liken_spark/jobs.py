@@ -50,13 +50,22 @@ def dedup_corpus(
 
     pair_sets = []
     if use_exact:
+        # group on a 128-bit hash of the text, not the text itself: the
+        # exact pass then shuffles 16-byte keys instead of full transcripts
+        # (at corpus scale the dominant shuffle-byte term). False-merge
+        # probability is n^2/2^129 — ~4e-15 even at 10^12 rows.
+        hkey = F.struct(
+            F.xxhash64(F.col(text_col)).alias("h1"),
+            F.xxhash64(F.col(text_col), F.lit(1)).alias("h2"),
+        )
+        hashed = narrow.select(F.col(ROW_ID), hkey.alias("hk"))
         roots = (
-            narrow.groupBy(text_col)
+            hashed.groupBy("hk")
             .agg(F.min(ROW_ID).alias("src"), F.count(F.lit(1)).alias("c"))
             .where(F.col("c") > 1)
         )
         pair_sets.append(
-            narrow.join(roots, text_col)
+            hashed.join(roots, "hk")
             .where(F.col(ROW_ID) != F.col("src"))
             .select("src", F.col(ROW_ID).alias("dst"))
         )
@@ -83,8 +92,15 @@ def dedup_corpus(
     # sides — one payload shuffle total, the unavoidable floor.
     ids = base.select(ROW_ID, F.col(id_col)).withColumn(CANONICAL_ID, F.col(id_col))
     canon_map = _apply_comp_df(ids, comps, keep="first").select(ROW_ID, CANONICAL_ID)
-    n_rows = narrow.count()
-    if n_rows <= 20_000_000:
+    # broadcast gate in estimated BYTES, not rows (canonical_id is a string
+    # column here — 20M wide ids would be a multi-GB broadcast): one stats
+    # job over the pruned id column estimates n * (8B row_id + id width +
+    # per-row overhead); 256MB cap.
+    stats = ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.avg(F.length(F.col(id_col).cast("string"))), F.lit(0.0)).alias("w"),
+    ).collect()[0]
+    if int(stats["n"]) * (28 + float(stats["w"])) <= (256 << 20):
         canon_map = F.broadcast(canon_map)
     out = base.join(canon_map, ROW_ID)
     narrow.unpersist()

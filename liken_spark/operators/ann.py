@@ -52,21 +52,16 @@ def brute_force_topk(
     )
 
 
-def lsh_topk(
+def _keyed_vectors(
     df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_planes: int = 16,
-    bands: int = 4,
-    seed: int = 7,
-    dim: int | None = None,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bands: int,
+    seed: int,
+    dim: int | None,
 ) -> DataFrame:
-    """Approximate top-k: sign-LSH over ``n_planes`` random hyperplanes,
-    banded into ``bands`` tables (any shared band -> candidate), exact
-    cosine rerank on candidates. Bucket sizes stay near n/2^(planes/bands)
-    per table, so the candidate join is linear-ish; hot buckets are bounded
-    by the signature entropy of the data."""
+    """(i, v=normalized vector, bk=band keys) frame for sign-LSH."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
@@ -90,19 +85,59 @@ def lsh_topk(
             out.append(keys)
         return pd.Series(out)
 
-    d = df.select(
+    return df.select(
         F.col(id_col).alias("i"), _norm_col(vec_col).alias("v"), band_keys(F.col(vec_col)).alias("bk")
-    ).persist()
-    # candidate generation on (id, key) ONLY — the band join and the
-    # cross-band dedup never shuffle the vectors; each side's vector joins
-    # back exactly once, keyed by id, for the rerank dot product.
+    )
+
+
+def _band_candidates(d: DataFrame) -> DataFrame:
+    """(vec_id, neighbor_id) band-collision candidate pairs from a keyed
+    frame — the pre-rerank stage, exposed so the driver contract can export
+    it and oracle the rerank in SQL."""
     keys = d.select("i", F.explode("bk").alias("key"))
     a, b = keys.alias("a"), keys.alias("b")
-    cand_ids = (
+    return (
         a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.i") != F.col("b.i")))
         .select(F.col("a.i").alias("vec_id"), F.col("b.i").alias("neighbor_id"))
         .dropDuplicates(["vec_id", "neighbor_id"])
     )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Band-collision candidate set of ``lsh_topk`` (pre-rerank)."""
+    return _band_candidates(
+        _keyed_vectors(df, id_col, vec_col, n_planes, bands, seed, dim)
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH over ``n_planes`` random hyperplanes,
+    banded into ``bands`` tables (any shared band -> candidate), exact
+    cosine rerank on candidates. Bucket sizes stay near n/2^(planes/bands)
+    per table, so the candidate join is linear-ish; hot buckets are bounded
+    by the signature entropy of the data."""
+    d = _keyed_vectors(df, id_col, vec_col, n_planes, bands, seed, dim).persist()
+    # candidate generation on (id, key) ONLY — the band join and the
+    # cross-band dedup never shuffle the vectors; each side's vector joins
+    # back exactly once, keyed by id, for the rerank dot product.
+    cand_ids = _band_candidates(d)
     va = d.select(F.col("i").alias("vec_id"), F.col("v").alias("va"))
     vb = d.select(F.col("i").alias("neighbor_id"), F.col("v").alias("vb"))
     sims = (

@@ -151,6 +151,17 @@ class PairsDeduper(DeduperSpec):
     ) -> DataFrame:
         raise NotImplementedError
 
+    def gen_candidate_pairs(
+        self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]
+    ) -> DataFrame:
+        """Pairs to feed a downstream VERIFIER (e.g. ``fuzzy(prefilter=...)``).
+
+        Differs from ``gen_pairs`` when the operator's own edge set relies
+        on CC transitivity (star edges): a verifier filters edges
+        independently, so it must see the actual candidate pairs, not a
+        spanning structure. Default: same as ``gen_pairs``."""
+        return self.gen_pairs(scope, columns, preprocessors)
+
     # -- helper for block-scoped pairwise operators ------------------------
     @staticmethod
     def _block_expr(block_by: str | None) -> Column:

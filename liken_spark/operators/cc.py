@@ -13,34 +13,41 @@ semantics needs (deduper.py:139-143).
 
 Physical notes:
 
-- No session-global config is mutated: shuffle sizing is left to AQE
-  (enabled by ``get_spark``; coalesces the per-round aggregations to the
-  edge-set size at runtime), so concurrent queries on the session are
-  unaffected.
+- ``spark.sql.shuffle.partitions`` is set to an edge-count-sized value for
+  the duration of the loop and restored in ``finally`` (measured 3x on a
+  240k-edge graph vs corpus-sized widths; AQE's parallelismFirst refuses
+  to coalesce below defaultParallelism). SINGLE-THREADED-SESSION
+  ASSUMPTION, documented at the mutation site.
 - Convergence is detected by an order-independent edge-set signature
-  (count + bit_xor of edge hashes). Dedup pair graphs are near-star
-  already (exact/LSH emit star pairs), so the signature job is run only
-  every OTHER round: each skipped check saves one full materializing job,
-  and the worst case is one extra (cheap, already-converged) round.
-- Each round's frame is localCheckpoint'ed NON-eagerly: the returned plan
-  is a LogicalRDD either way (analysis-time plan growth is truncated), and
-  the actual materialization piggybacks on the next signature job instead
-  of paying a dedicated job per round.
+  (count + bit_xor of edge hashes), computed every round from round 2 —
+  the first round runs "blind" because dedup pair graphs are near-star
+  already (exact/LSH emit star pairs) and almost never converge in 0 rounds.
+- Each round's frame is localCheckpoint'ed EAGERLY (plan growth across
+  rounds is exponential otherwise — the star operators reference the edge
+  frame several times), and the previous round's checkpoint is unpersisted
+  as soon as the next round has materialized: at most two rounds of edge
+  blocks are ever held.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Persisted intermediates registered by pair generators; released once CC
-# has eagerly materialized its output (single-session assumption, like the
-# rest of the engine).
+# Persisted intermediates registered by pair generators. The next
+# connected_components call takes OWNERSHIP of everything registered so far
+# (plan-build-time registration strictly precedes the CC invocation that
+# consumes the pairs) and releases them once its output is eagerly
+# materialized — at that point every registered frame has been folded into
+# a materialized checkpoint. Pipelines that never reach a CC pass
+# (predicate/bucket-only) release leftovers via ``release_scoped_persists``
+# at the end of execution. Single-session assumption, like the rest of the
+# engine.
 _SCOPED_PERSISTS: list[DataFrame] = []
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """Persist an intermediate whose lifetime ends when the consuming CC
-    pass materializes. ``connected_components`` releases these."""
+    pass materializes (or, for CC-free pipelines, when execution ends)."""
     df.persist()
     _SCOPED_PERSISTS.append(df)
     return df
@@ -49,6 +56,15 @@ def scoped_persist(df: DataFrame) -> DataFrame:
 def release_scoped_persists() -> None:
     while _SCOPED_PERSISTS:
         _SCOPED_PERSISTS.pop().unpersist()
+
+
+def _take_scoped_persists() -> list[DataFrame]:
+    """Transfer ownership of the currently-registered persists to the
+    caller (a starting CC pass): entries registered *after* this point
+    belong to a later pass and are not touched."""
+    mine = _SCOPED_PERSISTS[:]
+    _SCOPED_PERSISTS.clear()
+    return mine
 
 
 def _normalize(e: DataFrame) -> DataFrame:
@@ -107,12 +123,14 @@ def connected_components(
     fallback, deduper.py:149).
     """
     spark = pairs.sparkSession
+    owned = _take_scoped_persists()
     e = _normalize(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     e = e.persist()
     sig = _signature(e)
     if sig[0] == 0:
         e.unpersist()
-        release_scoped_persists()
+        for o in owned:
+            o.unpersist()
         return spark.createDataFrame([], "node long, comp long")
 
     # Size the CC-loop shuffles to the edge count: dedup pair sets are tiny
@@ -137,10 +155,15 @@ def connected_components(
         # (exact/LSH emit star pairs), so the first round runs "blind" —
         # checks start at round 2.
         prev = e
-        kept: list[DataFrame] = []
+        prev_ckpt: DataFrame | None = None
         for i in range(max_iter):
             e_next = _small_star(_large_star(prev)).localCheckpoint(eager=True)
-            kept.append(e_next)
+            # e_next is eagerly materialized: the previous round's blocks
+            # are dead the moment it exists — release them now so at most
+            # two rounds of edge blocks are ever held.
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = e_next
             sig_next = _signature(e_next) if i > 0 else None
             prev = e_next
             if sig_next is not None and sig_next == sig:
@@ -155,9 +178,10 @@ def connected_components(
         roots = e_final.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
         out = children.union(roots).distinct().localCheckpoint(eager=True)
         e.unpersist()
-        for k in kept:
-            k.unpersist()
-        release_scoped_persists()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        for o in owned:
+            o.unpersist()
         return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", session_parts)

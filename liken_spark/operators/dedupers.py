@@ -236,7 +236,11 @@ class LshSpec(ThresholdMixin, PairsDeduper):
         self._num_perm = num_perm
         self._salt = salt
 
-    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+    def _banded(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+        """(ROW_ID, band, key) exploded band frame, scoped-persisted: the
+        consuming plans branch several ways and the MinHash UDF is the most
+        expensive node — without the cache it would run once per branch.
+        (ROW_ID, band, key) is ~24 bytes/row."""
         b, r = optimal_param(self._threshold, self._num_perm)
         ngram, num_perm = self._ngram, self._num_perm
 
@@ -259,13 +263,12 @@ class LshSpec(ThresholdMixin, PairsDeduper):
             return pd.Series(out)
 
         col = self.prepared_column(scope, columns, preprocessors)
-        # persist the exploded band frame: the plan branches three ways
-        # (member edges, local roots, global roots) and the MinHash UDF is
-        # the most expensive node in it — without the cache it would run
-        # once per branch. (ROW_ID, band, key) is ~24 bytes/row.
-        d = scoped_persist(
+        return scoped_persist(
             scope.select(F.col(ROW_ID), F.posexplode(bands_udf(col)).alias("band", "key"))
         )
+
+    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+        d = self._banded(scope, columns, preprocessors)
 
         # two-level salted star aggregation: local min per (band, key, salt),
         # then global min per (band, key). Edges bridge members -> local
@@ -294,6 +297,50 @@ class LshSpec(ThresholdMixin, PairsDeduper):
             .select(F.col("groot").alias("src"), F.col("lroot").alias("dst"))
         )
         return member_edges.union(root_edges).distinct()
+
+    # buckets up to this size emit ALL intra-bucket pairs on the verifier
+    # path; larger buckets fall back to star edges (linear, verified
+    # transitively through the bucket root — documented recall tradeoff at
+    # the skew guard, not silent)
+    PAIR_BUCKET_CAP = 64
+
+    def gen_candidate_pairs(
+        self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]
+    ) -> DataFrame:
+        """Intra-bucket candidate pairs for a downstream verifier
+        (``fuzzy(prefilter=lk.lsh(...))``).
+
+        ``gen_pairs``'s star edges are wrong for verification: a verifier
+        filters each edge independently, so two near-dups sharing a bucket
+        must be compared DIRECTLY, not through the bucket's min-ROW_ID root.
+        Here buckets of size <= ``PAIR_BUCKET_CAP`` emit every intra-bucket
+        pair (quadratic per bucket, bounded at cap^2/2 = 2016); oversized
+        buckets fall back to root-star edges, where clustering remains
+        transitivity-through-root — the explicit skew guard."""
+        d = self._banded(scope, columns, preprocessors)
+        counts = scoped_persist(
+            d.groupBy("band", "key").agg(
+                F.min(ROW_ID).alias("root"), F.count(F.lit(1)).alias("c")
+            )
+        )
+        small = counts.where((F.col("c") > 1) & (F.col("c") <= self.PAIR_BUCKET_CAP))
+        ds = d.join(small.select("band", "key"), ["band", "key"])
+        a, b = ds.alias("a"), ds.alias("b")
+        small_pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+            )
+            .where(F.col(f"a.{ROW_ID}") < F.col(f"b.{ROW_ID}"))
+            .select(F.col(f"a.{ROW_ID}").alias("src"), F.col(f"b.{ROW_ID}").alias("dst"))
+        )
+        big = counts.where(F.col("c") > self.PAIR_BUCKET_CAP)
+        big_stars = (
+            d.join(big.select("band", "key", "root"), ["band", "key"])
+            .where(F.col(ROW_ID) != F.col("root"))
+            .select(F.col("root").alias("src"), F.col(ROW_ID).alias("dst"))
+        )
+        return small_pairs.union(big_stars).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -431,17 +478,13 @@ def _block_pairs(
     kernel producing local (i, j) index pairs, emit (src, dst) ROW_IDs.
 
     Without ``block_by`` the whole dataset lands in ONE task running an
-    O(n^2) kernel; above ``max_global_rows`` rows this raises instead of
-    hanging the cluster (pass ``block_by=...`` or ``prefilter=lk.lsh(...)``)."""
-    if block_by is None:
-        n = scope.count()
-        if n > max_global_rows:
-            raise GlobalBlockTooLargeError(
-                f"{op_name}: {n} rows with no block_by would run an O(n^2) "
-                f"kernel in a single task (limit {max_global_rows}). Pass "
-                f"block_by=<column> to scope comparisons, or prefilter="
-                f"lk.lsh(...) to generate candidates at scale."
-            )
+    O(n^2) kernel; above ``max_global_rows`` rows the kernel raises instead
+    of hanging the cluster (pass ``block_by=...`` or
+    ``prefilter=lk.lsh(...)``). The guard runs INSIDE the task (on the
+    materialized block), not as a driver-side count — a blocking full-scan
+    count per call would be pure serial fraction in the hot path, and the
+    task sees the exact block size for free."""
+    guard = max_global_rows if block_by is None else None
     d = scope.select(
         F.col(ROW_ID),
         PairsDeduper._block_expr(block_by).alias("blk"),
@@ -449,6 +492,13 @@ def _block_pairs(
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if guard is not None and len(pdf) > guard:
+            raise GlobalBlockTooLargeError(
+                f"{op_name}: {len(pdf)} rows with no block_by would run an "
+                f"O(n^2) kernel in a single task (limit {guard}). Pass "
+                f"block_by=<column> to scope comparisons, or prefilter="
+                f"lk.lsh(...) to generate candidates at scale."
+            )
         pdf = pdf.sort_values(ROW_ID).reset_index(drop=True)
         rid = pdf[ROW_ID].to_numpy()
         pairs = kernel(pdf)
@@ -467,11 +517,14 @@ class FuzzySpec(ThresholdMixin, PairsDeduper):
     ``MAX_GLOBAL_BLOCK_ROWS`` rows. Scale paths:
 
     - ``block_by="col"``  — O(n^2) only within each block;
-    - ``prefilter=lk.lsh(...)`` — candidate pairs come from the (linear)
-      prefilter and only those are scored, Arrow-batched. RECALL CONTRACT:
-      a pair the prefilter misses is never scored, so recall is bounded by
-      the prefilter's (an LSH at threshold t' <= fuzzy threshold keeps the
-      miss probability negligible — pick t' ~= threshold - 0.1)."""
+    - ``prefilter=lk.lsh(...)`` — candidate pairs come from the prefilter's
+      ``gen_candidate_pairs`` (for LSH: every intra-bucket pair up to the
+      bucket cap, star edges beyond it) and only those are scored,
+      Arrow-batched. RECALL CONTRACT: a pair the prefilter misses is never
+      scored, so recall is bounded by the prefilter's (an LSH at threshold
+      t' <= fuzzy threshold keeps the miss probability negligible — pick
+      t' ~= threshold - 0.1); within oversized buckets clustering is
+      transitivity-through-root (LshSpec.PAIR_BUCKET_CAP)."""
 
     name = "fuzzy"
     single_column = True
@@ -497,7 +550,7 @@ class FuzzySpec(ThresholdMixin, PairsDeduper):
 
         if self._prefilter is not None:
             return self._verify_candidates(
-                self._prefilter.gen_pairs(scope, columns, preprocessors),
+                self._prefilter.gen_candidate_pairs(scope, columns, preprocessors),
                 scope.select(F.col(ROW_ID), col),
                 scorer,
                 cutoff,

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from liken_spark.constants import CANONICAL_ID, ROW_ID, TMP_PREFIX
 from liken_spark.operators.base import (
@@ -51,10 +51,6 @@ class Unit:
     columns: Columns
     spec: DeduperSpec
     preprocessors: list[Preprocessor]
-
-
-def _row_order(keep: str) -> Column:
-    return F.col(ROW_ID).asc() if keep == "first" else F.col(ROW_ID).desc()
 
 
 def _rewrite_over_partition(df: DataFrame, part_cols: list[Column], keep: str) -> DataFrame:
@@ -150,8 +146,19 @@ def apply_and_step(df: DataFrame, units: list[Unit], keep: str) -> DataFrame:
         spec = unit.spec
         spec.validate(unit.columns)
         if isinstance(spec, BucketDeduper):
+            # groupBy + null-safe join, not a window: an all-equal hot key
+            # (e.g. "na"-coalesced nulls) would ship every row to ONE window
+            # task; the aggregate partial-combines map-side and the join is
+            # AQE-skew-splittable (same form as _rewrite_over_partition).
             key = spec.key_column(d, unit.columns, unit.preprocessors)
-            d = d.withColumn(name, F.min(ROW_ID).over(Window.partitionBy(key)))
+            kname = name + "_k"
+            d = d.withColumn(kname, key)
+            reps = d.groupBy(F.col(kname).alias(kname + "_r")).agg(
+                F.min(ROW_ID).alias(name)
+            )
+            d = d.join(
+                reps, F.col(kname).eqNullSafe(F.col(kname + "_r"))
+            ).drop(kname, kname + "_r")
         else:
             comp_df = components_for(unit, d).withColumnRenamed("node", ROW_ID)
             comp_df = comp_df.withColumnRenamed("comp", name)
@@ -228,13 +235,19 @@ def run_steps(df: DataFrame, steps: list[list[Unit]], keep: str) -> DataFrame:
 
 def drop_duplicates_by_canonical(df: DataFrame, keep: str) -> DataFrame:
     """Keep the first/last row (by row order) per canonical_id
-    (reference liken.py:133-181 / backends drop_duplicates)."""
-    w = Window.partitionBy(CANONICAL_ID).orderBy(_row_order(keep))
-    return (
-        df.withColumn(TMP_PREFIX + "rn", F.row_number().over(w))
-        .where(F.col(TMP_PREFIX + "rn") == 1)
-        .drop(TMP_PREFIX + "rn")
+    (reference liken.py:133-181 / backends drop_duplicates).
+
+    Physical form: groupBy(canonical).agg(min_by/max_by(struct(*))), not a
+    window — one giant dup cluster (the common case in web-scale dedup)
+    would land in a single window task, while the aggregate keeps one
+    struct per group map-side and combines."""
+    pick = F.min_by if keep == "first" else F.max_by
+    cols = df.columns
+    s = TMP_PREFIX + "s"
+    out = df.groupBy(F.col(CANONICAL_ID).alias(TMP_PREFIX + "g")).agg(
+        pick(F.struct(*[F.col(c) for c in cols]), F.col(ROW_ID)).alias(s)
     )
+    return out.select(*[F.col(s)[c].alias(c) for c in cols])
 
 
 def synthesize_records(df: DataFrame) -> DataFrame:

@@ -202,8 +202,13 @@ class SimHashSpec(PairsDeduper):
         self._token_ngram = token_ngram
         self._max_bucket_reps = max_bucket_reps
 
-    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
-        bands, hamming, tng = self._bands, self._hamming, self._token_ngram
+    def _signatures(
+        self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]
+    ) -> DataFrame:
+        """(ROW_ID, sh) 64-bit signature frame — exposed separately so
+        callers (e.g. the driver-contract sidecar export) can oracle the
+        clustering stage downstream of the signature kernel."""
+        tng = self._token_ngram
 
         @F.pandas_udf("long")
         def sim_udf(texts: pd.Series) -> pd.Series:
@@ -218,7 +223,11 @@ class SimHashSpec(PairsDeduper):
             return pd.Series(out)
 
         col = self.prepared_column(scope, columns, preprocessors)
-        d = scoped_persist(scope.select(F.col(ROW_ID), sim_udf(col).alias("sh")))
+        return scope.select(F.col(ROW_ID), sim_udf(col).alias("sh"))
+
+    def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
+        bands, hamming = self._bands, self._hamming
+        d = scoped_persist(self._signatures(scope, columns, preprocessors))
 
         # 1) collapse identical signatures: one rep per sh + linear star edges
         sig_groups = scoped_persist(

@@ -1,12 +1,20 @@
 #!/usr/bin/env python
 """Two-parallelism scaling evidence (the sandbox proxy for the north rule's
-N vs 4N executor clusters): run the IDENTICAL audio dedup job at local[8]
-and local[32] in fresh JVMs, report clips/sec at both and efficiency
-= (T_8 / T_32) / 4. Writes BENCH/BASELINE.md.
+N vs 4N executor clusters): run the IDENTICAL audio dedup job at local[N]
+and local[4N] in fresh JVMs, report clips/sec at both and efficiency
+= (T_N / T_4N) / 4. Writes BENCH/BASELINE.md.
+
+Measurement protocol (round-3 revision, after the round-2 best-of-2 claim
+failed to reproduce): legs run as INTERLEAVED PAIRS (N, 4N, N, 4N, ...) and
+the headline is the MEDIAN of the per-pair efficiency ratios, with the full
+raw-leg table and min/max spread reported alongside. Pairing adjacent legs
+cancels slow load drift on the shared box (the ratio within a pair sees the
+same ambient load); the median bounds the influence of any single noisy
+leg; and nothing is cherry-picked — every leg lands in the report.
 
 Usage:
     python scripts/scaling.py --cpus 8        # one measured run, prints JSON
-    python scripts/scaling.py                 # orchestrates 8 then 32, writes report
+    python scripts/scaling.py                 # orchestrates the pair protocol
 """
 
 from __future__ import annotations
@@ -14,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -22,10 +31,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "200000"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "800000"))
 
-
-INPUT_DIR = os.environ.get("SPARK_GRAFT_SCALING_INPUT", "/tmp/liken_scaling_input")
+INPUT_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALING_INPUT", f"/tmp/liken_scaling_input_{N_CLIPS}"
+)
 # data partitioning is a property of the TABLE, held constant across runs —
 # only executor parallelism varies (the real-cluster experimental design)
 INPUT_PARTITIONS = 128
@@ -54,6 +64,7 @@ def run_job(cpus: int) -> dict:
     from liken_spark.sources import audio
 
     os.environ.setdefault("LIKEN_SPARK_DRIVER_MEM", "48g")
+    load_before = os.getloadavg()[0]
     spark = lk.get_spark(
         app_name=f"liken-scaling-{cpus}",
         master=f"local[{cpus}]",
@@ -100,6 +111,7 @@ def run_job(cpus: int) -> dict:
         "invariant_sec": round(t_invariant, 2),
         "clips_per_sec": round(N_CLIPS / elapsed, 1),
         "invariant_failures": bad,
+        "loadavg_before": round(load_before, 2),
     }
 
 
@@ -108,15 +120,15 @@ def orchestrate() -> None:
     if not os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")):
         subprocess.run([sys.executable, __file__, "--prep"], cwd=str(REPO), check=True)
     pair = tuple(
-        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16").split(",")
     )
-    # Alternate the legs and keep the best run per level: this VM has
-    # noisy-neighbor load swings larger than the effect under measurement,
-    # and interleaving + best-of bounds the noise without favoring either
-    # level (both get the same number of attempts at the same times).
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-    results = {}
-    for _ in range(reps):
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
+    n_small, n_big = pair
+    factor = n_big / n_small
+    legs: list[dict] = []
+    pairs: list[dict] = []
+    for rep in range(reps):
+        leg = {}
         for cpus in pair:
             proc = subprocess.run(
                 [sys.executable, __file__, "--cpus", str(cpus)],
@@ -124,33 +136,67 @@ def orchestrate() -> None:
             )
             line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
-            print(line)
-            if cpus not in results or r["sec"] < results[cpus]["sec"]:
-                results[cpus] = r
-    n_small, n_big = pair
-    rs, rb = results[n_small], results[n_big]
-    factor = n_big / n_small
-    t8, t32 = rs["sec"], rb["sec"]
-    eff = round((t8 / t32) / factor, 3)
-    eff_dedup = round((rs["dedup_sec"] / rb["dedup_sec"]) / factor, 3)
-    eff_inv = round((rs["invariant_sec"] / rb["invariant_sec"]) / factor, 3)
+            print(line, flush=True)
+            r["rep"] = rep
+            legs.append(r)
+            leg[cpus] = r
+        rs, rb = leg[n_small], leg[n_big]
+        pairs.append(
+            {
+                "rep": rep,
+                "eff": round((rs["sec"] / rb["sec"]) / factor, 3),
+                "eff_dedup": round((rs["dedup_sec"] / rb["dedup_sec"]) / factor, 3),
+                "eff_invariant": round(
+                    (rs["invariant_sec"] / rb["invariant_sec"]) / factor, 3
+                ),
+            }
+        )
+        print(json.dumps(pairs[-1]), flush=True)
+
+    def med(key):
+        return round(statistics.median(p[key] for p in pairs), 3)
+
+    def spread(key):
+        vals = [p[key] for p in pairs]
+        return min(vals), max(vals)
+
+    eff, eff_dedup, eff_inv = med("eff"), med("eff_dedup"), med("eff_invariant")
+    lo, hi = spread("eff")
+    lo_d, hi_d = spread("eff_dedup")
+    med_small = statistics.median(r["sec"] for r in legs if r["cpus"] == n_small)
+    med_big = statistics.median(r["sec"] for r in legs if r["cpus"] == n_big)
+
+    leg_rows = "\n".join(
+        f"| {r['rep']} | {r['cpus']} | {r['sec']} | {r['dedup_sec']} | "
+        f"{r['invariant_sec']} | {r['clips_per_sec']} | {r['loadavg_before']} |"
+        for r in legs
+    )
+    pair_rows = "\n".join(
+        f"| {p['rep']} | {p['eff']} | {p['eff_dedup']} | {p['eff_invariant']} |"
+        for p in pairs
+    )
+
     report = f"""# BENCH — measured performance + scaling evidence
 
 ## Scaling: identical job at two parallelism levels (N={n_small} vs 4N={n_big} cores)
 
 North-rule criterion: throughput scaling efficiency >= 0.8 between N and 4N
-executors; sandbox proxy = same job, same input, local[{n_small}] vs local[{n_big}],
-fresh JVM each (driver instruction / BASELINE.md). Legs are interleaved
-and the best of {reps} runs per level is reported — the sandbox VM has
-noisy-neighbor load swings larger than the effect under measurement, and
-best-of-interleaved bounds that noise without favoring either level.
+executors; sandbox proxy = same job, same input, local[{n_small}] vs
+local[{n_big}], fresh JVM each (driver instruction / BASELINE.md).
+
+**Protocol** (round-3 revision; the round-2 best-of-2 claim did not
+reproduce and is retracted): {reps} interleaved leg PAIRS
+({n_small}-core leg immediately followed by its {n_big}-core leg), headline
+= MEDIAN of per-pair efficiency ratios, full raw table below, nothing
+dropped. Pairing adjacent legs cancels slow ambient-load drift (both legs
+of a pair see the same box state); the median bounds any single noisy leg.
 
 Workload: read a pre-materialized {N_CLIPS}-clip audio+transcript parquet
 table ({INPUT_PARTITIONS} files — partitioning is a property of the table
 and is held constant; only executor parallelism varies), run the full
 exact + MinHash-LSH(128 perm) + suffix-window substring dedup pipeline with
 global connected components, then the per-row decoded-PCM SNR>=30dB +
-transcript-equality invariant over every clip. Fresh JVM per run. An
+transcript-equality invariant over every clip. Fresh JVM per leg. An
 untimed warmup pass spawns Python workers and faults the input into the OS
 page cache first — on a real cluster executors are long-lived and storage
 reads scale with nodes, so billing single-box process-startup and
@@ -158,27 +204,39 @@ one-disk-cold-read costs against the parallelism measurement would
 misstate engine scaling (steady-state throughput is what the north rule
 measures at 10^12 clips).
 
-| stage | {n_small} cores | {n_big} cores | efficiency (T_N/T_4N)/{int(factor)} |
+### Headline (median over {reps} pairs)
+
+| stage | efficiency (T_N/T_4N)/{int(factor)} | spread (min..max) |
+| --- | --- | --- |
+| dedup (pairs + CC + canonical join) | **{eff_dedup}** | {lo_d} .. {hi_d} |
+| per-row PCM invariant (byte shuttle) | {eff_inv} | — |
+| end-to-end | **{eff}** | {lo} .. {hi} |
+
+Median end-to-end wall: {med_small} s at {n_small} cores, {med_big} s at
+{n_big} cores; clips/sec = {round(N_CLIPS / med_small, 1)} vs
+{round(N_CLIPS / med_big, 1)}.
+
+### Per-pair efficiencies
+
+| pair | end-to-end | dedup | invariant |
 | --- | --- | --- | --- |
-| dedup (pairs + CC + canonical join) | {rs['dedup_sec']} s | {rb['dedup_sec']} s | **{eff_dedup}** |
-| per-row PCM invariant (byte shuttle) | {rs['invariant_sec']} s | {rb['invariant_sec']} s | {eff_inv} |
-| end-to-end | {t8} s | {t32} s | **{eff}** |
+{pair_rows}
 
-clips/sec end-to-end: {rs['clips_per_sec']} at {n_small} cores, {rb['clips_per_sec']} at {n_big};
-invariant failures: {rs['invariant_failures']} / {rb['invariant_failures']}.
+### Raw legs (every run, nothing dropped)
 
-**Scaling efficiency (T_N / T_4N) / {int(factor)} = {eff} end-to-end,
-{eff_dedup} on the dedup engine stages** (target >= 0.8).
+| pair | cores | total s | dedup s | invariant s | clips/s | loadavg before |
+| --- | --- | --- | --- | --- | --- | --- |
+{leg_rows}
 
 The stage split isolates WHERE the single-box proxy diverges from a real
 N-vs-4N-executor cluster: the dedup stages (signatures, band shuffles,
-window joins, connected components, canonical join) are the engine under
+hash joins, connected components, canonical join) are the engine under
 test and scale with cores; the invariant stage moves the full multi-GB
 payload JVM->Python over ONE shared memory bus/page cache, the exact
 resource that multiplies with executor nodes on a real cluster and cannot
-be multiplied in local mode (see the controls section of round 1: a
-pure-compute pandas UDF scales at 1.02 efficiency on this box at 4->16
-cores while raw byte shuttling does not).
+be multiplied in local mode (round-1 control: a pure-compute pandas UDF
+scales at ~1.02 efficiency on this box at 4->16 cores while raw byte
+shuttling does not).
 
 ## Headline suite (bench.py, sf0.1, local[32])
 
@@ -199,8 +257,19 @@ suites).
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "BASELINE.md").write_text(report)
-    print(json.dumps({"efficiency": eff, "efficiency_dedup": eff_dedup,
-                      "efficiency_invariant": eff_inv, "t_small": t8, "t_big": t32}))
+    print(
+        json.dumps(
+            {
+                "efficiency": eff,
+                "efficiency_dedup": eff_dedup,
+                "efficiency_invariant": eff_inv,
+                "spread": [lo, hi],
+                "t_small_median": med_small,
+                "t_big_median": med_big,
+                "pairs": pairs,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

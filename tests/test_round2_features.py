@@ -15,7 +15,6 @@ import liken_spark as lk
 from liken_spark.constants import CANONICAL_ID, ROW_ID
 from liken_spark.functions.similarity import lev_ratio
 from liken_spark.ids import with_row_id
-from liken_spark.operators.dedupers import GlobalBlockTooLargeError
 from liken_spark.operators.textdedup import SimHashSpec
 
 
@@ -26,8 +25,10 @@ def test_lsh_salt_exposed():
 
 
 def test_global_block_guard_fuzzy(spark):
+    # the guard raises INSIDE the task (no driver-side count in the hot
+    # path), so Spark surfaces it wrapped — match on the message
     big = spark.range(60_000).select(F.col("id").cast("string").alias("t"))
-    with pytest.raises(GlobalBlockTooLargeError, match="block_by"):
+    with pytest.raises(Exception, match="block_by"):
         lk.dedupe(big).apply({"t": lk.fuzzy(threshold=0.9)}).canonicalize().collect().count()
 
 
@@ -35,7 +36,7 @@ def test_global_block_guard_cosine(spark):
     big = spark.range(60_000).select(
         F.col("id").cast("double").alias("a"), (F.col("id") * 2).cast("double").alias("b")
     )
-    with pytest.raises(GlobalBlockTooLargeError):
+    with pytest.raises(Exception, match="block_by"):
         lk.dedupe(big).apply({("a", "b"): lk.cosine(threshold=0.9)}).canonicalize().collect().count()
 
 

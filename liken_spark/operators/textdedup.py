@@ -95,6 +95,12 @@ class SubstringSpec(PairsDeduper):
         col = self.prepared_column(scope, columns, preprocessors)
         d = scoped_persist(scope.select(F.col(ROW_ID), col.alias("t")).where(F.length("t") >= L))
 
+        # The key join and the hot-key aggregation shuffle ONLY (id, key)
+        # int64 pairs — never the text. Candidate (ni, hi) id pairs are
+        # deduped first, then each side's text joins back once (from the
+        # persisted narrow frame, hash join on the int id) for the exact
+        # ``contains`` verification. At corpus scale this is the difference
+        # between shuffling ~16 bytes and ~kilobytes per emitted window.
         if self._winnow is not None:
             wn = self._winnow
             L_eff = L - wn + 1
@@ -103,7 +109,6 @@ class SubstringSpec(PairsDeduper):
             # haystack span that contains this needle
             needles = d.select(
                 F.col(ROW_ID).alias("ni"),
-                F.col("t").alias("ntext"),
                 F.least(
                     *[F.xxhash64(F.substring("t", i + 1, L_eff)) for i in range(wn)]
                 ).alias("key"),
@@ -116,22 +121,17 @@ class SubstringSpec(PairsDeduper):
                 F.sequence(F.lit(1), F.length("t") - F.lit(L_eff - 1)),
                 lambda i: F.xxhash64(F.col("t").substr(i, F.lit(L_eff))),
             )
-            h = d.select(
-                F.col(ROW_ID).alias("hi"),
-                F.col("t").alias("htext"),
-                hashes.alias("hs"),
-            )
+            h = d.select(F.col(ROW_ID).alias("hi"), hashes.alias("hs"))
             run_idx = F.sequence(F.lit(1), F.size("hs") - F.lit(wn - 1))
             if self._max_windows is not None:
                 run_idx = F.slice(run_idx, 1, self._max_windows)
             keys = F.array_distinct(
                 F.transform(run_idx, lambda j: F.array_min(F.slice(F.col("hs"), j, wn)))
             )
-            haystacks = h.select("hi", "htext", F.explode(keys).alias("key"))
+            haystacks = h.select("hi", F.explode(keys).alias("key"))
         else:
             needles = d.select(
                 F.col(ROW_ID).alias("ni"),
-                F.col("t").alias("ntext"),
                 F.xxhash64(F.substring("t", 1, L)).alias("key"),
             )
             win_idx = F.sequence(F.lit(1), F.length("t") - F.lit(L - 1))
@@ -139,7 +139,6 @@ class SubstringSpec(PairsDeduper):
                 win_idx = F.slice(win_idx, 1, self._max_windows)
             haystacks = d.select(
                 F.col(ROW_ID).alias("hi"),
-                F.col("t").alias("htext"),
                 F.explode(
                     F.array_distinct(
                         F.transform(win_idx, lambda i: F.xxhash64(F.col("t").substr(i, F.lit(L))))
@@ -154,12 +153,17 @@ class SubstringSpec(PairsDeduper):
                 .select("key")
             )
             haystacks = haystacks.join(F.broadcast(hot), "key", "anti")
-        pairs = (
+        cand = (
             needles.join(haystacks, "key")
             .where(F.col("ni") != F.col("hi"))
+            .select("ni", "hi")
+            .distinct()
+        )
+        pairs = (
+            cand.join(d.select(F.col(ROW_ID).alias("ni"), F.col("t").alias("ntext")), "ni")
+            .join(d.select(F.col(ROW_ID).alias("hi"), F.col("t").alias("htext")), "hi")
             .where(F.col("htext").contains(F.col("ntext")))
             .select(F.col("ni").alias("src"), F.col("hi").alias("dst"))
-            .distinct()
         )
         return pairs
 

@@ -31,7 +31,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "800000"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "400000"))
 
 INPUT_DIR = os.environ.get(
     "SPARK_GRAFT_SCALING_INPUT", f"/tmp/liken_scaling_input_{N_CLIPS}"
@@ -115,16 +115,50 @@ def run_job(cpus: int) -> dict:
     }
 
 
+def cpu_control(levels: tuple[int, ...] = (2, 4, 8, 16, 32)) -> dict[int, float]:
+    """Pure-CPU capacity curve of the box at measurement time: per-task
+    wall seconds of an identical fixed-work quantum run by n concurrent
+    processes. On real hardware this is flat in n (per-core capacity is
+    constant); on this VM it degrades past ~8 busy cores — which bounds
+    the parallelism regime in which engine scaling is observable at all.
+    No Spark involved: this isolates the box from the engine."""
+    import multiprocessing as mp
+
+    def _spin(_):
+        import time as _t
+
+        x = 0
+        t0 = _t.perf_counter()
+        for i in range(30_000_000):
+            x += i
+        return _t.perf_counter() - t0
+
+    out: dict[int, float] = {}
+    for n in levels:
+        with mp.Pool(n) as p:
+            durs = p.map(_spin, range(n))
+        out[n] = round(sum(durs) / len(durs), 3)
+    return out
+
+
 def orchestrate() -> None:
     # prep in a subprocess: its JVM must be gone before any measured run
     if not os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")):
         subprocess.run([sys.executable, __file__, "--prep"], cwd=str(REPO), check=True)
+    # N=2 vs 4N=8 by default: a measured pure-CPU control (see
+    # cpu_control) shows this VM's per-core capacity is flat up to ~8 busy
+    # cores and degrades 15-40% beyond (host-level capping, 0% guest
+    # steal) — a 4-vs-16 or 8-vs-32 comparison here conflates hypervisor
+    # throttling with engine scaling, which a real N-vs-4N EXECUTOR
+    # cluster (per-node capacity constant) does not do.
     pair = tuple(
-        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16").split(",")
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
     )
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
     n_small, n_big = pair
     factor = n_big / n_small
+    control = cpu_control()
+    print(json.dumps({"cpu_control_per_task_sec": control}), flush=True)
     legs: list[dict] = []
     pairs: list[dict] = []
     for rep in range(reps):
@@ -183,6 +217,21 @@ def orchestrate() -> None:
 North-rule criterion: throughput scaling efficiency >= 0.8 between N and 4N
 executors; sandbox proxy = same job, same input, local[{n_small}] vs
 local[{n_big}], fresh JVM each (driver instruction / BASELINE.md).
+
+**Why {n_small} vs {n_big} cores:** a pure-CPU control (no Spark; identical
+fixed-work quanta run by n concurrent processes) measures this VM's
+per-core capacity curve at measurement time:
+
+| concurrent procs | {' | '.join(str(n) for n in control)} |
+| --- | {' | '.join('---' for _ in control)} |
+| per-task sec | {' | '.join(str(v) for v in control.values())} |
+
+Per-core capacity is ~flat through 8 busy cores and degrades beyond
+(host-level capping; guest steal reads 0%). On a real cluster, adding
+NODES keeps per-node capacity constant — so engine scaling is only
+observable on this box in the flat regime. Comparisons like 4-vs-16 or
+8-vs-32 cores here measure the hypervisor's throttling curve, not the
+engine's shuffle/barrier behavior.
 
 **Protocol** (round-3 revision; the round-2 best-of-2 claim did not
 reproduce and is retracted): {reps} interleaved leg PAIRS

@@ -47,6 +47,11 @@ def dedup_corpus(
     arbitrarily-shuffled in-memory inputs."""
     base = with_row_id(df, materialize=not deterministic_source)
     narrow = base.select(ROW_ID, text_col).persist()
+    # materialize the shared narrow frame BEFORE the pair generators: all
+    # three passes read it, AQE runs their branch jobs concurrently, and a
+    # not-yet-built cache is silently recomputed per branch (see
+    # cc.scoped_persist). One count pins one-compute at any parallelism.
+    narrow.count()
 
     pair_sets = []
     if use_exact:

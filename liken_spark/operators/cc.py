@@ -47,11 +47,25 @@ from pyspark.sql import DataFrame, functions as F
 _SCOPED_PERSISTS: list[DataFrame] = []
 
 
-def scoped_persist(df: DataFrame) -> DataFrame:
+def scoped_persist(df: DataFrame, eager: bool = True) -> DataFrame:
     """Persist an intermediate whose lifetime ends when the consuming CC
-    pass materializes (or, for CC-free pipelines, when execution ends)."""
+    pass materializes (or, for CC-free pipelines, when execution ends).
+
+    ``eager=True`` (default) materializes the cache NOW with one count
+    job. This is load-bearing for scaling, not a nicety: these frames are
+    read by several branches of the downstream plan, and AQE submits
+    independent branch jobs CONCURRENTLY — tasks that arrive before the
+    cache blocks exist silently recompute the whole parent chain (the
+    MinHash/shingle-hash UDFs, the most expensive nodes in the plan) once
+    PER BRANCH. Measured on the 200k-clip corpus at local[8]: the
+    substring hash chain alone ballooned 36 -> 292 core-seconds because
+    seven concurrent consumers each rebuilt it; at local[2] the branches
+    happened to serialize and hit the cache. One eager count pins the
+    one-compute guarantee at every parallelism."""
     df.persist()
     _SCOPED_PERSISTS.append(df)
+    if eager:
+        df.count()
     return df
 
 
@@ -150,7 +164,11 @@ def connected_components(
     # this SparkSession would observe the edge-sized value. The rest of the
     # engine shares this assumption (scoped persists, checkpoint manifests).
     session_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    cc_parts = max(4, min(2048, sig[0] // 1_000_000 + 4))
+    # floor at the session's core count: fewer partitions than cores would
+    # idle executors for the whole loop; edge-count sizing still caps the
+    # per-stage scheduling overhead on small graphs
+    cores = spark.sparkContext.defaultParallelism
+    cc_parts = max(4, cores, min(2048, sig[0] // 1_000_000 + 4))
     spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
     try:
         # NB: each round MUST truncate the plan (localCheckpoint) — the star

@@ -31,7 +31,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "400000"))
+# 200k clips ~= 7 GB: with 2-core legs in the 500-900 s range the fixed
+# per-leg costs (session spawn, planning, driver round-trips) are ~2% of
+# wall — leg LENGTH, not clip count, controls the fixed-cost fraction
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "200000"))
 
 INPUT_DIR = os.environ.get(
     "SPARK_GRAFT_SCALING_INPUT", f"/tmp/liken_scaling_input_{N_CLIPS}"
@@ -102,17 +105,103 @@ def run_job(cpus: int) -> dict:
     )
     t_invariant = time.perf_counter() - t1
     elapsed = time.perf_counter() - t0
+
+    # Engine-free capacity controls, same box window: this VM's per-vCPU
+    # throughput is NOT constant in the number of busy vCPUs, and the
+    # degradation depends on the instruction mix (scalar JVM codegen
+    # scaled ~1.0 in windows where AVX-dense numpy lost 3x — host
+    # SMT/turbo/AVX-frequency effects; guest steal reads 0%). So each
+    # control is the ENGINE'S OWN WORK CLASS run with zero engine/Spark
+    # machinery, `cpus` concurrent workers, each executing an IDENTICAL
+    # fixed quantum:
+    # - ctrl_jvm: in-JVM whole-stage-codegen hash reduction (the shuffle/
+    #   join/CC stages' instruction class), 64 parallel tasks;
+    # - ctrl_audio: the invariant kernel itself (synth+encode+decode+snr+
+    #   transcript) via mp.Pool — the PCM-invariant stage's class;
+    # - ctrl_minhash: the shingle+SHA1+MinHash kernel via mp.Pool — the
+    #   signature stage's class.
+    # A control's pair ratio t_N/t_4N is the CEILING any perfectly
+    # parallel job of that class can measure here.
+    t2 = time.perf_counter()
+    spark.range(3_000_000_000, numPartitions=64).select(
+        F.expr("bit_xor(xxhash64(id))")  # ANSI-safe reduction (sum overflows)
+    ).collect()
+    t_ctrl_jvm = time.perf_counter() - t2
     spark.stop()
+
+    import multiprocessing as mp
+
+    with mp.Pool(cpus) as pool:
+        audio_durs = pool.map(_audio_kernel_quantum, [(42, 2000)] * cpus)
+    with mp.Pool(cpus) as pool:
+        mh_durs = pool.map(_minhash_kernel_quantum, [(42, 20000)] * cpus)
     return {
         "cpus": cpus,
         "n_clips": N_CLIPS,
         "sec": round(elapsed, 2),
         "dedup_sec": round(t_dedup, 2),
         "invariant_sec": round(t_invariant, 2),
+        "ctrl_jvm_sec": round(t_ctrl_jvm, 2),
+        "ctrl_audio_sec": round(sum(audio_durs) / len(audio_durs), 2),
+        "ctrl_minhash_sec": round(sum(mh_durs) / len(mh_durs), 2),
         "clips_per_sec": round(N_CLIPS / elapsed, 1),
         "invariant_failures": bad,
         "loadavg_before": round(load_before, 2),
     }
+
+
+def _audio_kernel_quantum(args):
+    """Per-process control quantum: the invariant stage's exact kernel
+    (re-synth + encode + decode + SNR + transcript) over a FIXED clip set,
+    identical for every worker — per-task wall time isolates the box's
+    per-core capacity for this instruction mix at this concurrency."""
+    seed, k = args
+    from liken_spark.sources import audio
+
+    t0 = time.perf_counter()
+    s = 0.0
+    for i in range(k):
+        sr, dur, codec = audio.params_for(seed, i)
+        ref = audio.synth_pcm(seed, i, sr, dur)
+        enc = audio.encode_clip(ref, codec, sr)
+        dec = audio.decode_clip(enc, codec)
+        s += audio.snr_db(ref, dec)
+        audio.transcript_for(seed, i)
+    return time.perf_counter() - t0
+
+
+def _minhash_kernel_quantum(args):
+    """Per-process control quantum: the LSH signature stage's exact kernel
+    (char shingles -> SHA1 token hashes -> 128-perm MinHash -> band
+    hashes) over a fixed transcript set."""
+    seed, k = args
+    import numpy as np
+
+    from liken_spark.minhash import (
+        band_hashes,
+        minhash_signature,
+        optimal_param,
+        sha1_hash32_batch,
+    )
+    from liken_spark.sources import audio
+
+    b, r = optimal_param(0.7, 128)
+    t0 = time.perf_counter()
+    for i in range(k):
+        text = audio.transcript_for(seed, i)
+        toks = {text[j : j + 3] for j in range(len(text) - 2)}
+        hs = sha1_hash32_batch([t.encode("utf-8") for t in toks])
+        sig = minhash_signature(np.asarray(hs, dtype=np.uint64), 128)
+        band_hashes(sig, b, r)
+    return time.perf_counter() - t0
+
+
+def _spin(_):
+    x = 0
+    t0 = time.perf_counter()
+    for i in range(30_000_000):
+        x += i
+    return time.perf_counter() - t0
 
 
 def cpu_control(levels: tuple[int, ...] = (2, 4, 8, 16, 32)) -> dict[int, float]:
@@ -123,15 +212,6 @@ def cpu_control(levels: tuple[int, ...] = (2, 4, 8, 16, 32)) -> dict[int, float]
     the parallelism regime in which engine scaling is observable at all.
     No Spark involved: this isolates the box from the engine."""
     import multiprocessing as mp
-
-    def _spin(_):
-        import time as _t
-
-        x = 0
-        t0 = _t.perf_counter()
-        for i in range(30_000_000):
-            x += i
-        return _t.perf_counter() - t0
 
     out: dict[int, float] = {}
     for n in levels:
@@ -175,14 +255,34 @@ def orchestrate() -> None:
             legs.append(r)
             leg[cpus] = r
         rs, rb = leg[n_small], leg[n_big]
+        eff = round((rs["sec"] / rb["sec"]) / factor, 3)
+        eff_dedup = round((rs["dedup_sec"] / rb["dedup_sec"]) / factor, 3)
+        eff_inv = round((rs["invariant_sec"] / rb["invariant_sec"]) / factor, 3)
+        # ctrl_jvm is a fixed-TOTAL-work Spark job -> same (t_N/t_4N)/4
+        # form as the legs; the mp.Pool kernels are fixed work PER TASK ->
+        # their ceiling is the per-task time ratio (1.0 = per-core
+        # capacity unchanged at the higher concurrency).
+        ctrl_jvm = round((rs["ctrl_jvm_sec"] / rb["ctrl_jvm_sec"]) / factor, 3)
+        ceil_audio = round(rs["ctrl_audio_sec"] / rb["ctrl_audio_sec"], 3)
+        ceil_minhash = round(rs["ctrl_minhash_sec"] / rb["ctrl_minhash_sec"], 3)
+        # dedup mixes the JVM shuffle/join class and the python MinHash
+        # class -> its ceiling is the mean of the two; end-to-end weights
+        # the stage ceilings by the small leg's stage split
+        ceil_dedup = round((ctrl_jvm + ceil_minhash) / 2, 3)
+        w_d = rs["dedup_sec"] / rs["sec"]
+        ceil_e2e = round(w_d * ceil_dedup + (1 - w_d) * ceil_audio, 3)
         pairs.append(
             {
                 "rep": rep,
-                "eff": round((rs["sec"] / rb["sec"]) / factor, 3),
-                "eff_dedup": round((rs["dedup_sec"] / rb["dedup_sec"]) / factor, 3),
-                "eff_invariant": round(
-                    (rs["invariant_sec"] / rb["invariant_sec"]) / factor, 3
-                ),
+                "eff": eff,
+                "eff_dedup": eff_dedup,
+                "eff_invariant": eff_inv,
+                "ctrl_jvm": ctrl_jvm,
+                "ceil_audio": ceil_audio,
+                "ceil_minhash": ceil_minhash,
+                "norm": round(eff / ceil_e2e, 3),
+                "norm_dedup": round(eff_dedup / ceil_dedup, 3),
+                "norm_invariant": round(eff_inv / ceil_audio, 3),
             }
         )
         print(json.dumps(pairs[-1]), flush=True)
@@ -195,18 +295,25 @@ def orchestrate() -> None:
         return min(vals), max(vals)
 
     eff, eff_dedup, eff_inv = med("eff"), med("eff_dedup"), med("eff_invariant")
+    norm, norm_dedup, norm_inv = med("norm"), med("norm_dedup"), med("norm_invariant")
+    ctrl_jvm_med = med("ctrl_jvm")
+    ceil_audio_med, ceil_minhash_med = med("ceil_audio"), med("ceil_minhash")
     lo, hi = spread("eff")
     lo_d, hi_d = spread("eff_dedup")
+    lo_n, hi_n = spread("norm")
     med_small = statistics.median(r["sec"] for r in legs if r["cpus"] == n_small)
     med_big = statistics.median(r["sec"] for r in legs if r["cpus"] == n_big)
 
     leg_rows = "\n".join(
         f"| {r['rep']} | {r['cpus']} | {r['sec']} | {r['dedup_sec']} | "
-        f"{r['invariant_sec']} | {r['clips_per_sec']} | {r['loadavg_before']} |"
+        f"{r['invariant_sec']} | {r['ctrl_jvm_sec']} | {r['ctrl_audio_sec']} | "
+        f"{r['ctrl_minhash_sec']} | {r['clips_per_sec']} | {r['loadavg_before']} |"
         for r in legs
     )
     pair_rows = "\n".join(
-        f"| {p['rep']} | {p['eff']} | {p['eff_dedup']} | {p['eff_invariant']} |"
+        f"| {p['rep']} | {p['eff']} | {p['eff_dedup']} | {p['eff_invariant']} | "
+        f"{p['ctrl_jvm']} | {p['ceil_minhash']} | {p['ceil_audio']} | "
+        f"{p['norm']} | {p['norm_dedup']} | {p['norm_invariant']} |"
         for p in pairs
     )
 
@@ -253,13 +360,40 @@ one-disk-cold-read costs against the parallelism measurement would
 misstate engine scaling (steady-state throughput is what the north rule
 measures at 10^12 clips).
 
+### Engine-free capacity controls (the serial-fraction accounting)
+
+Per-vCPU throughput on this VM is NOT constant in busy-vCPU count, and
+the loss depends on instruction mix (in one measured window, scalar JVM
+codegen scaled at 1.1 while AVX-dense numpy lost 3.4x; guest steal reads
+0% — host SMT/turbo/AVX-frequency effects). So every leg also times the
+ENGINE'S OWN KERNELS with zero engine/Spark machinery:
+
+- `ctrl_jvm`: in-JVM whole-stage-codegen hash reduction over
+  `spark.range(3e9)`, 64 parallel tasks (the shuffle/join/CC instruction
+  class) — fixed total work, efficiency form (T_N/T_4N)/{int(factor)};
+- `ctrl_audio`: the PCM-invariant kernel itself (synth + encode + decode
+  + SNR + transcript), run by `cpus` concurrent processes via mp.Pool,
+  each on an IDENTICAL fixed clip quantum — its N-vs-4N per-task time
+  ratio is the capacity ceiling for the invariant stage's class;
+- `ctrl_minhash`: the LSH signature kernel (shingles -> SHA1 -> 128-perm
+  MinHash -> bands), same fixed-quantum form.
+
+A control's ceiling is what a PERFECTLY PARALLEL job of that class could
+measure here. The normalized columns divide the engine's raw efficiency
+by its class ceiling (dedup: mean of ctrl_jvm and ctrl_minhash;
+end-to-end: stage-time-weighted): **normalized = the fraction of
+achievable scaling the ENGINE delivers**, isolating engine structure
+(shuffles, barriers, serial driver work) from the box. Raw numbers are
+first-class alongside; on a real cluster (constant per-node capacity)
+the ceilings are ~1.0 and raw ~= normalized.
+
 ### Headline (median over {reps} pairs)
 
-| stage | efficiency (T_N/T_4N)/{int(factor)} | spread (min..max) |
-| --- | --- | --- |
-| dedup (pairs + CC + canonical join) | **{eff_dedup}** | {lo_d} .. {hi_d} |
-| per-row PCM invariant (byte shuttle) | {eff_inv} | — |
-| end-to-end | **{eff}** | {lo} .. {hi} |
+| stage | raw eff (T_N/T_4N)/{int(factor)} | class ceiling | normalized | spread (raw) |
+| --- | --- | --- | --- | --- |
+| dedup (pairs + CC + canonical join) | {eff_dedup} | jvm {ctrl_jvm_med} / mh {ceil_minhash_med} | **{norm_dedup}** | {lo_d} .. {hi_d} |
+| per-row PCM invariant | {eff_inv} | {ceil_audio_med} | **{norm_inv}** | — |
+| end-to-end | {eff} | time-weighted | **{norm}** | {lo} .. {hi} (norm {lo_n} .. {hi_n}) |
 
 Median end-to-end wall: {med_small} s at {n_small} cores, {med_big} s at
 {n_big} cores; clips/sec = {round(N_CLIPS / med_small, 1)} vs
@@ -267,29 +401,37 @@ Median end-to-end wall: {med_small} s at {n_small} cores, {med_big} s at
 
 ### Per-pair efficiencies
 
-| pair | end-to-end | dedup | invariant |
-| --- | --- | --- | --- |
+| pair | e2e | dedup | invariant | ctrl_jvm | ceil_mh | ceil_audio | norm e2e | norm dedup | norm inv |
+| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |
 {pair_rows}
 
-### Raw legs (every run, nothing dropped)
+### Raw legs (every run, nothing dropped; ctrl_audio/ctrl_minhash are
+per-task seconds of a fixed quantum — equal across rows = flat capacity)
 
-| pair | cores | total s | dedup s | invariant s | clips/s | loadavg before |
-| --- | --- | --- | --- | --- | --- | --- |
+| pair | cores | total s | dedup s | invariant s | ctrl_jvm s | ctrl_audio s | ctrl_minhash s | clips/s | loadavg before |
+| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |
 {leg_rows}
 
 The stage split isolates WHERE the single-box proxy diverges from a real
-N-vs-4N-executor cluster: the dedup stages (signatures, band shuffles,
-hash joins, connected components, canonical join) are the engine under
-test and scale with cores; the invariant stage moves the full multi-GB
-payload JVM->Python over ONE shared memory bus/page cache, the exact
-resource that multiplies with executor nodes on a real cluster and cannot
-be multiplied in local mode (round-1 control: a pure-compute pandas UDF
-scales at ~1.02 efficiency on this box at 4->16 cores while raw byte
-shuttling does not).
+N-vs-4N-executor cluster: on a real cluster each added node brings its own
+cores at FULL per-core capacity plus its own DRAM bus, disks and NIC —
+none of which multiply when adding busy vCPUs on one shared box. The
+controls quantify that divergence per work class in the same measurement
+window, which is what makes the normalized column the engine-scaling
+number and the raw column the box number.
 
 ## Headline suite (bench.py, sf0.1, local[32])
 
 See BENCH_r*.json recorded by the driver; reproduce with `python bench.py`.
+
+**Cross-round comparability warning:** this VM's absolute speed drifts
+~2x day-to-day (measured during round 3: the pure-JVM
+`exact_events_props` query, whose code is unchanged since round 2, ran
+3.2 s in the round-2 bench window and 4.9-7.9 s in round 3's; the round-1
+-> round-2 window showed the same 2x drift on re-measured round-1 code).
+Compare RATIOS within a single run — the scaling protocol above is built
+on paired ratios for exactly this reason — not absolute seconds across
+rounds.
 
 ## Reference (liken) comparison at equal scale
 
@@ -312,6 +454,12 @@ suites).
                 "efficiency": eff,
                 "efficiency_dedup": eff_dedup,
                 "efficiency_invariant": eff_inv,
+                "normalized": norm,
+                "normalized_dedup": norm_dedup,
+                "normalized_invariant": norm_inv,
+                "control_jvm": ctrl_jvm_med,
+                "ceiling_audio": ceil_audio_med,
+                "ceiling_minhash": ceil_minhash_med,
                 "spread": [lo, hi],
                 "t_small_median": med_small,
                 "t_big_median": med_big,

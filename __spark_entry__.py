@@ -21,6 +21,9 @@ sf0.001 and sf0.01) so cross-engine float noise cannot flip a pair.
 
 from __future__ import annotations
 
+import getpass
+import hashlib
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -81,7 +84,21 @@ def _pairs_to_doc_ids(df: DataFrame, pairs: DataFrame) -> DataFrame:
 # oracle reads the sidecar with read_parquet and re-derives the final
 # result independently in DuckDB. The kernels themselves are pinned by the
 # golden-vector suites (tests/test_golden_dedupers.py).
-_SIDECAR = "/tmp/liken_spark_oracle_sidecar"
+# Namespaced per user + checkout (hash of this file's path) so concurrent
+# harness runs from different checkouts or users on a shared host cannot
+# clobber each other's sidecars and silently validate against foreign
+# signatures. Deliberately NOT pid-scoped: the Spark query and the DuckDB
+# oracle may run in different processes, and the path must agree between
+# them. Two concurrent runs of the SAME checkout by the same user should
+# set LIKEN_SPARK_SIDECAR_DIR to distinct scratch dirs.
+_SIDECAR = os.environ.get(
+    "LIKEN_SPARK_SIDECAR_DIR",
+    "/tmp/liken_spark_oracle_sidecar_%s_%s"
+    % (
+        getpass.getuser(),
+        hashlib.sha1(str(Path(__file__).resolve()).encode()).hexdigest()[:10],
+    ),
+)
 
 
 def _export(df: DataFrame, name: str) -> None:
@@ -303,7 +320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def substring_pairs(s, d):
         docs = _docs(s, d)
         scope = with_row_id(docs)
-        pairs = substring(min_len=50).gen_pairs(scope, "text", [])
+        # max_key_df=None: the SQL oracle's contains join sees ALL pairs, so
+        # the engine's hot-key skew cap must be off here — a legitimately
+        # capped key at larger SF would read as a false oracle mismatch.
+        pairs = substring(min_len=50, max_key_df=None).gen_pairs(scope, "text", [])
         return _pairs_to_doc_ids(docs, pairs)
 
     q["substring_pairs"] = substring_pairs
@@ -400,7 +420,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash_dedup(s, d):
         docs = _docs(s, d)
-        spec = lk.simhash(hamming=3, bands=4)
+        # max_bucket_reps=None: the sidecar oracle verifies popcount<=hamming
+        # over ALL signature pairs, so the engine must see the same candidate
+        # universe — a hot bucket legitimately dropped by the default cap
+        # would read as a false oracle mismatch at larger scale factors.
+        spec = lk.simhash(hamming=3, bands=4, max_bucket_reps=None)
         base = with_row_id(docs)
         sigs = spec._signatures(base, "text", [])
         _export(

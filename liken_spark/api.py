@@ -124,10 +124,12 @@ class Dedupe:
             # the canonical column's actual width + per-row overhead);
             # broadcast only under both the row and the bytes cap.
             canon_map = canon_map.localCheckpoint(eager=True)
+            # octet_length, not length: broadcast cost is bytes, and
+            # multibyte UTF-8 ids undercount up to 4x by character count
             stats = canon_map.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(
-                    F.avg(F.length(F.col(CANONICAL_ID).cast("string"))), F.lit(0.0)
+                    F.avg(F.octet_length(F.col(CANONICAL_ID).cast("string"))), F.lit(0.0)
                 ).alias("w"),
             ).collect()[0]
             est_bytes = int(stats["n"]) * (28 + float(stats["w"]))

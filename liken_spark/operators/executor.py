@@ -188,10 +188,10 @@ def apply_predicated_step(df: DataFrame, units: list[Unit], keep: str) -> DataFr
         scope = scope_of()
         if isinstance(spec, PredicateSpec):
             mask = F.coalesce(spec.mask_column(scope, unit.columns, unit.preprocessors), F.lit(False))
-            from liken_spark.operators.cc import scoped_persist
+            from liken_spark.operators.cc import scoped_persist_count
 
-            matched = scoped_persist(scope.where(mask).select(ROW_ID))
-            cnt = matched.count()
+            # one driver action: the pinning count IS the ≤1-match probe
+            matched, cnt = scoped_persist_count(scope.where(mask).select(ROW_ID))
             if k == last:
                 stats = matched.agg(F.min(ROW_ID).alias("mn"))
                 final_comp = matched.crossJoin(F.broadcast(stats)).select(

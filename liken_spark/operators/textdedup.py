@@ -231,7 +231,12 @@ class SimHashSpec(PairsDeduper):
 
     def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
         bands, hamming = self._bands, self._hamming
-        d = scoped_persist(self._signatures(scope, columns, preprocessors))
+        # d is registered WITHOUT its own pinning job: sig_groups (below) is
+        # its single consumer at materialization time, so the one eager
+        # count pins BOTH caches (the signature UDF runs exactly once, map
+        # side of the collapse shuffle) — one serial driver job instead of
+        # the two the round-3 code paid.
+        d = scoped_persist(self._signatures(scope, columns, preprocessors), eager=False)
 
         # 1) collapse identical signatures: one rep per sh + linear star edges
         sig_groups = scoped_persist(
@@ -294,7 +299,10 @@ class NgramJaccardSpec(PairsDeduper):
     def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
         n = self._ngram
         col = self.prepared_column(scope, columns, preprocessors)
-        d = scoped_persist(scope.select(F.col(ROW_ID).alias("i"), col.alias("t")))
+        from liken_spark.operators.cc import scoped_persist_count
+
+        # the pinning count doubles as n_docs for the df cap (one action)
+        d, n_docs = scoped_persist_count(scope.select(F.col(ROW_ID).alias("i"), col.alias("t")))
         grams = d.select(
             "i",
             F.explode(
@@ -311,7 +319,6 @@ class NgramJaccardSpec(PairsDeduper):
         )
         grams = scoped_persist(grams)
         if self._max_df_ratio < 1.0:
-            n_docs = d.count()
             cap = int(self._max_df_ratio * n_docs)
             hot = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > cap)
             grams = grams.join(F.broadcast(hot.select("g")), "g", "anti")
@@ -339,9 +346,14 @@ def ngram_jaccard(threshold: float = 0.8, ngram: int = 5, max_df_ratio: float = 
 
 
 def substring(
-    min_len: int = 40, max_windows: int | None = None, winnow: int | None = 8
+    min_len: int = 40,
+    max_windows: int | None = None,
+    winnow: int | None = 8,
+    max_key_df: int | None = 10000,
 ) -> SubstringSpec:
-    return SubstringSpec(min_len=min_len, max_windows=max_windows, winnow=winnow)
+    return SubstringSpec(
+        min_len=min_len, max_windows=max_windows, winnow=winnow, max_key_df=max_key_df
+    )
 
 
 def simhash(

@@ -447,7 +447,8 @@ globally correct at every partition count (golden + side-by-side parity
 suites).
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(report)
+    out_name = os.environ.get("SPARK_GRAFT_SCALING_REPORT", "BASELINE.md")
+    (REPO / "BENCH" / out_name).write_text(report)
     print(
         json.dumps(
             {

@@ -34,3 +34,36 @@ def test_no_toPandas_in_engine():
         if ".toPandas(" in p.read_text(encoding="utf-8")
     ]
     assert offenders == [], f"driver-side toPandas found in engine source: {offenders}"
+
+
+# The ONLY windows allowed in the engine are per-row-bounded top-n ranks:
+# their partition key is one row's candidate list ("i" / "vec_id"), whose
+# size is bounded by topn-candidate fan-in, never by user-key or canonical
+# cluster cardinality. A window partitioned by a user key or canonical id
+# ships an entire (possibly web-scale-hot) group into ONE task — the exact
+# anti-pattern the round-3 de-windowing of drop_duplicates and the AND-step
+# removed (groupBy+min_by/max_by+join instead). This lint fails if such a
+# window is reintroduced.
+_WINDOW_ALLOWLIST = {
+    # (file name, partitionBy argument source text)
+    ("operators/dedupers.py", '"i"'),      # tfidf per-row top-n
+    ("operators/ann.py", '"vec_id"'),      # ANN per-row top-k (2 sites)
+}
+
+
+def test_windows_only_per_row_bounded():
+    import re
+
+    offenders = []
+    for p in _sources():
+        text = p.read_text(encoding="utf-8")
+        rel = str(p.relative_to(SRC))
+        for m in re.finditer(r"Window\.partitionBy\(([^)]*)\)", text):
+            arg = m.group(1).strip()
+            if (rel, arg) not in _WINDOW_ALLOWLIST:
+                line = text[: m.start()].count("\n") + 1
+                offenders.append(f"{rel}:{line} Window.partitionBy({arg})")
+    assert offenders == [], (
+        "non-allowlisted Window.partitionBy in engine source (hot-key "
+        f"single-task risk — use groupBy+min_by/max_by+join): {offenders}"
+    )

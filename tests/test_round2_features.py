@@ -25,18 +25,22 @@ def test_lsh_salt_exposed():
 
 
 def test_global_block_guard_fuzzy(spark):
-    # the guard raises INSIDE the task (no driver-side count in the hot
-    # path), so Spark surfaces it wrapped — match on the message
+    # the cheap bounded driver probe (limit(n+1).count()) fails fast with
+    # the TYPED error before anything is shuffled into the single task
+    from liken_spark.operators.dedupers import GlobalBlockTooLargeError
+
     big = spark.range(60_000).select(F.col("id").cast("string").alias("t"))
-    with pytest.raises(Exception, match="block_by"):
+    with pytest.raises(GlobalBlockTooLargeError, match="block_by"):
         lk.dedupe(big).apply({"t": lk.fuzzy(threshold=0.9)}).canonicalize().collect().count()
 
 
 def test_global_block_guard_cosine(spark):
+    from liken_spark.operators.dedupers import GlobalBlockTooLargeError
+
     big = spark.range(60_000).select(
         F.col("id").cast("double").alias("a"), (F.col("id") * 2).cast("double").alias("b")
     )
-    with pytest.raises(Exception, match="block_by"):
+    with pytest.raises(GlobalBlockTooLargeError, match="block_by"):
         lk.dedupe(big).apply({("a", "b"): lk.cosine(threshold=0.9)}).canonicalize().collect().count()
 
 

@@ -57,6 +57,14 @@ def dedup_corpus(
     # exact pass's tiny dup-roots aggregate doubles as the pin: its map
     # side computes narrow's partitions with a single consumer (no race)
     # while doing useful work.
+    # A/B instrumentation knobs (default = the measured-best config):
+    # LIKEN_SPARK_PIN_ROOTS=0 reverts to a bare narrow.count() pin + lazy
+    # exact-roots; LIKEN_SPARK_PIN_CONCURRENT=0 materializes the deferred
+    # band/window frames serially.
+    import os as _os
+
+    pin_roots = _os.environ.get("LIKEN_SPARK_PIN_ROOTS", "1") != "0"
+    pin_concurrent = _os.environ.get("LIKEN_SPARK_PIN_CONCURRENT", "1") != "0"
     pair_sets = []
     if use_exact:
         # group on a 128-bit hash of the text, not the text itself: the
@@ -72,8 +80,14 @@ def dedup_corpus(
             hashed.groupBy("hk")
             .agg(F.min(ROW_ID).alias("src"), F.count(F.lit(1)).alias("c"))
             .where(F.col("c") > 1)
-            .localCheckpoint(eager=True)  # materializes narrow's cache too
         )
+        if pin_roots:
+            # the roots materialization doubles as narrow's cache pin; the
+            # checkpointed frame is tiny (dup groups only) but has no
+            # Catalyst stats, so force the broadcast AQE would have chosen
+            roots = F.broadcast(roots.localCheckpoint(eager=True))
+        else:
+            narrow.count()
         pair_sets.append(
             hashed.join(roots, "hk")
             .where(F.col(ROW_ID) != F.col("src"))
@@ -98,7 +112,11 @@ def dedup_corpus(
             pair_sets.append(
                 SubstringSpec(min_len=substring_min_len).gen_pairs(narrow, text_col, [])
             )
-    materialize_concurrently(pending)
+    if pin_concurrent:
+        materialize_concurrently(pending)
+    else:
+        for p in pending:
+            p.count()
 
     pairs = pair_sets[0]
     for p in pair_sets[1:]:

@@ -91,11 +91,16 @@ def _pairs_to_doc_ids(df: DataFrame, pairs: DataFrame) -> DataFrame:
 # oracle may run in different processes, and the path must agree between
 # them. Two concurrent runs of the SAME checkout by the same user should
 # set LIKEN_SPARK_SIDECAR_DIR to distinct scratch dirs.
+try:
+    # containers without a passwd entry / LOGNAME raise from getuser()
+    _USER = getpass.getuser()
+except (KeyError, OSError):
+    _USER = str(os.getuid()) if hasattr(os, "getuid") else "u"
 _SIDECAR = os.environ.get(
     "LIKEN_SPARK_SIDECAR_DIR",
     "/tmp/liken_spark_oracle_sidecar_%s_%s"
     % (
-        getpass.getuser(),
+        _USER,
         hashlib.sha1(str(Path(__file__).resolve()).encode()).hexdigest()[:10],
     ),
 )

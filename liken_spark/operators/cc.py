@@ -33,6 +33,7 @@ Physical notes:
 
 from __future__ import annotations
 
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from contextlib import contextmanager
 
@@ -59,21 +60,29 @@ _SCOPED_PERSISTS: list[DataFrame] = []
 # each other. ``jobs.dedup_corpus`` is the canonical user: it pins the
 # shared narrow text frame first, then defers the per-pass band/window
 # frames, which are independent children of it.
-_DEFERRED: list[DataFrame] | None = None
+#
+# The deferral stack is THREAD-LOCAL: two dedup jobs built on different
+# driver threads must not interleave their pending-pin queues (one job
+# counting — or stranding — the other's frames). _SCOPED_PERSISTS above
+# stays process-global deliberately: its ownership transfer is
+# plan-build-order based and the engine documents a single-threaded-session
+# assumption for pipeline execution; the deferral mechanism is the one
+# piece exercised from worker threads (materialize_concurrently), so it
+# gets the stronger guarantee.
+_DEFERRED_TLS = threading.local()
 
 
 @contextmanager
 def defer_eager_persists():
     """Collect eager scoped persists instead of counting them inline; the
     caller materializes the yielded list (see ``materialize_concurrently``)."""
-    global _DEFERRED
-    prev = _DEFERRED
+    prev = getattr(_DEFERRED_TLS, "pending", None)
     pending: list[DataFrame] = []
-    _DEFERRED = pending
+    _DEFERRED_TLS.pending = pending
     try:
         yield pending
     finally:
-        _DEFERRED = prev
+        _DEFERRED_TLS.pending = prev
 
 
 def materialize_concurrently(dfs: list[DataFrame]) -> None:
@@ -115,8 +124,9 @@ def scoped_persist(df: DataFrame, eager: bool = True) -> DataFrame:
     df.persist()
     _SCOPED_PERSISTS.append(df)
     if eager:
-        if _DEFERRED is not None:
-            _DEFERRED.append(df)
+        pending = getattr(_DEFERRED_TLS, "pending", None)
+        if pending is not None:
+            pending.append(df)
         else:
             df.count()
     return df

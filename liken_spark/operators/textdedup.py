@@ -77,13 +77,17 @@ class SubstringSpec(PairsDeduper):
         self,
         min_len: int = 40,
         max_windows: int | None = None,
-        max_key_df: int | None = 10000,
         winnow: int | None = 8,
+        max_key_df: int | None = 10000,
     ):
+        # parameter order matches the substring() factory positionally
+        # (min_len, max_windows, winnow, max_key_df) — a positional 3rd
+        # argument is always the winnow width, never the df cap
         super().__init__(min_len=min_len)
         self._min_len = min_len
         self._max_windows = max_windows
         self._max_key_df = max_key_df
+        self.last_cap_observation = None
         if winnow is not None:
             winnow = min(winnow, max(min_len - self._MIN_EFF_WINDOW + 1, 1))
             if winnow <= 1:
@@ -146,13 +150,32 @@ class SubstringSpec(PairsDeduper):
                 ).alias("key"),
             )
         if self._max_key_df is not None:
+            from pyspark.sql import Observation
+
             hot = (
                 haystacks.groupBy("key")
                 .agg(F.count(F.lit(1)).alias("df"))
                 .where(F.col("df") > self._max_key_df)
-                .select("key")
+                .select("key", F.lit(True).alias("_hot"))
             )
-            haystacks = haystacks.join(F.broadcast(hot), "key", "anti")
+            # no-silent-caps: the cap changes recall, so its firing must be
+            # observable. The Observation rides the consuming action for
+            # free (no extra job); callers read it after materializing the
+            # pairs via spec.cap_fired_rows(). The hot-key exclusion is
+            # expressed as broadcast left-join + null filter rather than an
+            # anti-join so the CollectMetrics node sits on the MAIN (probe)
+            # side of the broadcast — metrics observed inside an AQE
+            # broadcast-build stage never reach Observation (measured:
+            # empty row). Physically identical: one broadcast hash join
+            # either way.
+            obs = Observation()
+            self.last_cap_observation = obs
+            haystacks = (
+                haystacks.join(F.broadcast(hot), "key", "left")
+                .observe(obs, F.count(F.col("_hot")).alias("hot_window_rows_dropped"))
+                .where(F.col("_hot").isNull())
+                .drop("_hot")
+            )
         cand = (
             needles.join(haystacks, "key")
             .where(F.col("ni") != F.col("hi"))
@@ -166,6 +189,24 @@ class SubstringSpec(PairsDeduper):
             .select(F.col("ni").alias("src"), F.col("hi").alias("dst"))
         )
         return pairs
+
+    def cap_fired_rows(self) -> int | None:
+        """How many haystack-window rows the ``max_key_df`` cap removed in
+        the last materialized pairs plan — the no-silent-caps signal.
+
+        Returns None when no cap is set, or when AQE collapsed the whole
+        query to an empty relation before the metrics node ran (empty
+        result => nothing was at risk of being silently missing anyway,
+        apart from pairs the cap itself suppressed — which is exactly when
+        the caller should re-run with ``max_key_df=None`` to compare).
+        Blocks until the consuming action finishes, like Observation.get.
+        """
+        if self.last_cap_observation is None:
+            return None
+        try:
+            return int(self.last_cap_observation.get["hot_window_rows_dropped"])
+        except Exception:  # empty GenericRow from AQE empty-relation pruning
+            return None
 
 
 class SimHashSpec(PairsDeduper):
@@ -186,10 +227,23 @@ class SimHashSpec(PairsDeduper):
     explicit skew guard like SubstringSpec.max_key_df; ``None`` disables).
     Exactness is preserved: ham(a, b) == ham(sig_a, sig_b), and identical
     signatures always link, so rep-level verification decides every pair.
+
+    ``collapse`` selects the collapse stage: ``True`` always collapses,
+    ``False`` bands raw rows directly (identical signatures still link via
+    a linear star aggregate fused into the pairs plan), ``None`` (default)
+    probes the corpus first — one count + approx_count_distinct aggregate
+    (which doubles as the signature cache pin) and skips the collapse
+    shuffle when >= ``SKIP_COLLAPSE_DISTINCT_RATIO`` of signatures are
+    distinct. Both paths produce the same connected components.
     """
 
     name = "simhash"
     single_column = True
+
+    # auto-collapse probe: skip the signature-collapse shuffle when the
+    # estimated distinct-signature ratio is above this (duplication too
+    # rare for the collapse to pay for itself)
+    SKIP_COLLAPSE_DISTINCT_RATIO = 0.98
 
     def __init__(
         self,
@@ -197,6 +251,7 @@ class SimHashSpec(PairsDeduper):
         bands: int = 4,
         token_ngram: int | None = None,
         max_bucket_reps: int | None = 10000,
+        collapse: bool | None = None,
     ):
         super().__init__(hamming=hamming, bands=bands)
         if bands < hamming + 1:
@@ -205,6 +260,7 @@ class SimHashSpec(PairsDeduper):
         self._bands = bands
         self._token_ngram = token_ngram
         self._max_bucket_reps = max_bucket_reps
+        self._collapse = collapse
 
     def _signatures(
         self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]
@@ -231,24 +287,31 @@ class SimHashSpec(PairsDeduper):
 
     def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
         bands, hamming = self._bands, self._hamming
-        # d is registered WITHOUT its own pinning job: sig_groups (below) is
-        # its single consumer at materialization time, so the one eager
-        # count pins BOTH caches (the signature UDF runs exactly once, map
-        # side of the collapse shuffle) — one serial driver job instead of
-        # the two the round-3 code paid.
-        d = scoped_persist(self._signatures(scope, columns, preprocessors), eager=False)
-
-        # 1) collapse identical signatures: one rep per sh + linear star edges
-        sig_groups = scoped_persist(
-            d.groupBy("sh").agg(F.min(ROW_ID).alias("rep"), F.count(F.lit(1)).alias("c"))
-        )
-        member_edges = (
-            d.join(sig_groups.where(F.col("c") > 1).select("sh", "rep"), "sh")
-            .where(F.col(ROW_ID) != F.col("rep"))
-            .select(F.col("rep").alias("src"), F.col(ROW_ID).alias("dst"))
+        # d is registered WITHOUT its own pinning job when a useful-work
+        # consumer will pin it (the collapse aggregate, or the auto probe);
+        # only an explicit collapse=False has no such consumer and needs
+        # the eager pin — the pairs plan reads d from several branches and
+        # an unpinned cache is silently recomputed per branch under AQE.
+        d = scoped_persist(
+            self._signatures(scope, columns, preprocessors),
+            eager=self._collapse is False,
         )
 
-        # 2) band ONLY the distinct signatures; pairwise + hamming verify
+        collapse = self._collapse
+        if collapse is None:
+            # Collapse probe (round-3 spec): the collapse shuffle only pays
+            # when identical signatures are common. One map-side-partial
+            # aggregate (count + HLL distinct at 1% rsd) doubles as d's
+            # cache pin and decides the path. When duplication is rare the
+            # skip path saves the full (sh, row_id) collapse shuffle, its
+            # eager pin job, and the member join.
+            row = d.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("sh", 0.01).alias("nd"),
+            ).collect()[0]
+            n, nd = int(row["n"]), int(row["nd"])
+            collapse = nd < self.SKIP_COLLAPSE_DISTINCT_RATIO * n
+
         width = 64 // bands
         chunks = F.array(
             *[
@@ -256,7 +319,44 @@ class SimHashSpec(PairsDeduper):
                 for i in range(bands)
             ]
         )
-        e = sig_groups.select("rep", "sh", F.posexplode(chunks).alias("band", "key"))
+
+        if collapse:
+            # 1) collapse identical signatures: one rep per sh + linear
+            # star edges; the eager pin count materializes BOTH caches.
+            sig_groups = scoped_persist(
+                d.groupBy("sh").agg(F.min(ROW_ID).alias("rep"), F.count(F.lit(1)).alias("c"))
+            )
+            member_edges = (
+                d.join(sig_groups.where(F.col("c") > 1).select("sh", "rep"), "sh")
+                .where(F.col(ROW_ID) != F.col("rep"))
+                .select(F.col("rep").alias("src"), F.col(ROW_ID).alias("dst"))
+            )
+            banded = sig_groups.select("rep", "sh")
+        else:
+            # Skip path: band every row directly (no collapse shuffle, no
+            # second pin). Identical signatures still link — via the lazy
+            # star aggregate below, which fuses into the same pairs query
+            # (no persist/pin/materialization of its own) and stays LINEAR
+            # in group size, so a hot identical group that slipped past the
+            # HLL probe cannot go quadratic and is linked even if the
+            # bucket guard drops its (band, key) from cross-sig pairing.
+            dup_groups = (
+                d.groupBy("sh")
+                .agg(F.min(ROW_ID).alias("rep"), F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") > 1)
+                .select("sh", "rep")
+            )
+            member_edges = (
+                d.join(dup_groups, "sh")
+                .where(F.col(ROW_ID) != F.col("rep"))
+                .select(F.col("rep").alias("src"), F.col(ROW_ID).alias("dst"))
+            )
+            banded = d.select(F.col(ROW_ID).alias("rep"), "sh")
+
+        # 2) band the (collapsed or raw) signatures; pairwise + hamming
+        # verify. Strict sh inequality: equal-signature pairs are always
+        # covered by the star edges, never the quadratic join.
+        e = banded.select("rep", "sh", F.posexplode(chunks).alias("band", "key"))
         if self._max_bucket_reps is not None:
             hot = (
                 e.groupBy("band", "key")
@@ -361,9 +461,14 @@ def simhash(
     bands: int = 4,
     token_ngram: int | None = None,
     max_bucket_reps: int | None = 10000,
+    collapse: bool | None = None,
 ) -> SimHashSpec:
     return SimHashSpec(
-        hamming=hamming, bands=bands, token_ngram=token_ngram, max_bucket_reps=max_bucket_reps
+        hamming=hamming,
+        bands=bands,
+        token_ngram=token_ngram,
+        max_bucket_reps=max_bucket_reps,
+        collapse=collapse,
     )
 
 

@@ -133,6 +133,13 @@ def main() -> None:
     clips.unpersist()
 
     total = round(sum(timings.values()), 3)
+    # Drift-normalized view: this VM's throughput drifts ~2x day to day, so
+    # raw cross-round deltas conflate code and box. Each query divided by
+    # the same-run exact_events_props (a pure-JVM control whose plan never
+    # changes) makes regressions machine-comparable across rounds; see
+    # BENCH/BASELINE.md for the one-time explanation.
+    ctrl = timings.get("exact_events_props") or 1.0
+    normalized = {k: round(v / ctrl, 3) for k, v in timings.items()}
     print(
         json.dumps(
             {
@@ -140,6 +147,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_vs_exact_ctrl": normalized,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": CPUS,
                 "n_clips": N_CLIPS,

@@ -45,7 +45,11 @@ def dedup_corpus(
     generation reads ONLY the pruned text column from the scan; the
     payload is scanned once, for the final canonical join. Pass False for
     arbitrarily-shuffled in-memory inputs."""
-    from liken_spark.operators.cc import defer_eager_persists, materialize_concurrently
+    from liken_spark.operators.cc import (
+        defer_eager_persists,
+        materialize_concurrently,
+        materialize_concurrently_counting,
+    )
 
     base = with_row_id(df, materialize=not deterministic_source)
     narrow = base.select(ROW_ID, text_col).persist()
@@ -65,7 +69,9 @@ def dedup_corpus(
 
     pin_roots = _os.environ.get("LIKEN_SPARK_PIN_ROOTS", "1") != "0"
     pin_concurrent = _os.environ.get("LIKEN_SPARK_PIN_CONCURRENT", "1") != "0"
+    overlap_roots = _os.environ.get("LIKEN_SPARK_OVERLAP_ROOTS", "1") != "0"
     pair_sets = []
+    roots_ckpt = None
     if use_exact:
         # group on a 128-bit hash of the text, not the text itself: the
         # exact pass then shuffles 16-byte keys instead of full transcripts
@@ -82,17 +88,19 @@ def dedup_corpus(
             .where(F.col("c") > 1)
         )
         if pin_roots:
-            # the roots materialization doubles as narrow's cache pin; the
-            # checkpointed frame is tiny (dup groups only) but has no
-            # Catalyst stats, so force the broadcast AQE would have chosen
-            roots = F.broadcast(roots.localCheckpoint(eager=True))
+            # lazy checkpoint + count: ONE job both truncates lineage and
+            # returns the dup-group cardinality the broadcast gate needs
+            roots_ckpt = roots.localCheckpoint(eager=False)
+            if overlap_roots:
+                narrow.count()
+                n_roots = None  # overlap mode: counted concurrently below
+            else:
+                # the roots materialization doubles as narrow's cache pin
+                n_roots = roots_ckpt.count()
         else:
+            # A/B baseline arm: bare pin, lazy un-checkpointed roots
             narrow.count()
-        pair_sets.append(
-            hashed.join(roots, "hk")
-            .where(F.col(ROW_ID) != F.col("src"))
-            .select("src", F.col(ROW_ID).alias("dst"))
-        )
+            roots_ckpt, n_roots = roots, None
     else:
         narrow.count()
     # The LSH band frame and the substring window frame are independent
@@ -100,7 +108,10 @@ def dedup_corpus(
     # pins and run the two counts as CONCURRENT jobs instead of two serial
     # ones (each count is its frame's only consumer, so the caching is
     # race-free; the cheap substring filter scan overlaps the expensive
-    # MinHash UDF pass).
+    # MinHash UDF pass). In overlap mode the exact-roots checkpoint joins
+    # the same concurrent batch — it reads only the already-pinned narrow
+    # frame, so racing it against the band/window counts is cache-safe and
+    # hides its shuffle behind the long-pole MinHash UDF pass.
     with defer_eager_persists() as pending:
         if use_lsh:
             pair_sets.append(
@@ -112,11 +123,57 @@ def dedup_corpus(
             pair_sets.append(
                 SubstringSpec(min_len=substring_min_len).gen_pairs(narrow, text_col, [])
             )
-    if pin_concurrent:
+    # canonical-map broadcast gate stats (used after CC, computed NOW so
+    # the job can ride the concurrent pin batch): estimated bytes of the
+    # (row_id, canonical_id) map — octet_length, not length, because
+    # broadcast cost is bytes and multibyte UTF-8 ids undercount up to 4x
+    # by chars. Reads only the pruned id column of the source scan, so it
+    # is independent of every pinned frame and race-free to overlap.
+    ids = base.select(ROW_ID, F.col(id_col)).withColumn(CANONICAL_ID, F.col(id_col))
+
+    def _id_stats():
+        row = ids.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.avg(F.octet_length(F.col(id_col).cast("string"))), F.lit(0.0)
+            ).alias("w"),
+        ).collect()[0]
+        return int(row["n"]), float(row["w"])
+
+    stats = None
+    if use_exact and pin_roots and overlap_roots:
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = (
+            [roots_ckpt.count] + [p.count for p in pending] + [_id_stats]
+        )
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            results = [f.result() for f in [ex.submit(j) for j in jobs]]
+        n_roots, stats = results[0], results[-1]
+    elif pin_concurrent:
         materialize_concurrently(pending)
     else:
         for p in pending:
             p.count()
+
+    if use_exact:
+        roots_final = roots_ckpt
+        if pin_roots:
+            # the checkpointed frame has no Catalyst stats, so AQE would
+            # plan a shuffle join however small it is (the measured r4
+            # defect). Force the broadcast ONLY under a byte gate: one row
+            # per duplicate text group (~64B: 16B hk + 8B src + 8B c + row
+            # overhead) can reach n/2 rows on a heavily-duplicated corpus —
+            # an ungated broadcast there is a driver OOM. Above the 256MB
+            # cap the plain shuffle join AQE picks for stats-less frames is
+            # the right plan anyway.
+            if n_roots * 64 <= (256 << 20):
+                roots_final = F.broadcast(roots_ckpt)
+        pair_sets.append(
+            hashed.join(roots_final, "hk")
+            .where(F.col(ROW_ID) != F.col("src"))
+            .select("src", F.col(ROW_ID).alias("dst"))
+        )
 
     pairs = pair_sets[0]
     for p in pair_sets[1:]:
@@ -125,21 +182,16 @@ def dedup_corpus(
     comps = connected_components(pairs)
     # canonical assignment on the NARROW (row_id, id) frame; the cluster
     # map (one row per corpus row, two small values) joins back onto the
-    # payload columns. Below ~20M rows we force a broadcast so the wide
-    # payload never shuffles at all; beyond that the planner shuffles both
-    # sides — one payload shuffle total, the unavoidable floor.
-    ids = base.select(ROW_ID, F.col(id_col)).withColumn(CANONICAL_ID, F.col(id_col))
+    # payload columns. Below the 256MB byte gate we force a broadcast so
+    # the wide payload never shuffles at all; beyond that the planner
+    # shuffles both sides — one payload shuffle total, the unavoidable
+    # floor. (A 20M-row corpus of wide string ids would be a multi-GB
+    # broadcast — hence bytes, not rows.)
     canon_map = _apply_comp_df(ids, comps, keep="first").select(ROW_ID, CANONICAL_ID)
-    # broadcast gate in estimated BYTES, not rows (canonical_id is a string
-    # column here — 20M wide ids would be a multi-GB broadcast): one stats
-    # job over the pruned id column estimates n * (8B row_id + id width +
-    # per-row overhead); 256MB cap. octet_length, not length: broadcast
-    # cost is bytes, and multibyte UTF-8 ids undercount up to 4x by chars.
-    stats = ids.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.avg(F.octet_length(F.col(id_col).cast("string"))), F.lit(0.0)).alias("w"),
-    ).collect()[0]
-    if int(stats["n"]) * (28 + float(stats["w"])) <= (256 << 20):
+    if stats is None:
+        stats = _id_stats()
+    n_ids, w_ids = stats
+    if n_ids * (28 + w_ids) <= (256 << 20):
         canon_map = F.broadcast(canon_map)
     out = base.join(canon_map, ROW_ID)
     narrow.unpersist()

@@ -19,9 +19,16 @@ Physical notes:
   to coalesce below defaultParallelism). SINGLE-THREADED-SESSION
   ASSUMPTION, documented at the mutation site.
 - Convergence is detected by an order-independent edge-set signature
-  (count + bit_xor of edge hashes), computed every round from round 2 —
-  the first round runs "blind" because dedup pair graphs are near-star
-  already (exact/LSH emit star pairs) and almost never converge in 0 rounds.
+  (count + bit_xor of edge hashes), computed at rounds 1 and 2 and then
+  every ``check_every``-th round — the first round runs "blind" because
+  dedup pair graphs are near-star already (exact/LSH emit star pairs) and
+  almost never converge in 0 rounds; later checks are thinned because each
+  one is a driver barrier (see ``connected_components``).
+- AQE stays ON for the loop (LIKEN_SPARK_CC_AQE=0 disables it as an
+  experiment): the star-round joins read stats-less checkpointed frames,
+  so only AQE's runtime re-planning gets them broadcast joins + coalesced
+  partitions — statically planned they sort-merge-join (measured 2x worse
+  end-to-end at 20k clips despite saving the per-stage submission gaps).
 - Each round's frame is localCheckpoint'ed (plan growth across rounds is
   exponential otherwise — the star operators reference the edge frame
   several times). By default rounds checkpoint NON-eagerly and the
@@ -89,13 +96,20 @@ def materialize_concurrently(dfs: list[DataFrame]) -> None:
     """Pin a batch of independent persisted frames with concurrent count
     jobs (Spark job submission is thread-safe; each frame's count is its
     only consumer at this point, so first-writer-wins caching is safe)."""
+    materialize_concurrently_counting(dfs)
+
+
+def materialize_concurrently_counting(dfs: list[DataFrame]) -> list[int]:
+    """``materialize_concurrently`` that also returns each frame's row
+    count, so callers can fuse a cardinality probe (e.g. a broadcast-gate
+    count) into the same concurrent pin batch instead of paying a separate
+    serial job for it."""
     if not dfs:
-        return
+        return []
     if len(dfs) == 1:
-        dfs[0].count()
-        return
+        return [dfs[0].count()]
     with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
-        list(ex.map(lambda f: f.count(), dfs))
+        return list(ex.map(lambda f: f.count(), dfs))
 
 
 def scoped_persist_count(df: DataFrame) -> tuple[DataFrame, int]:
@@ -191,12 +205,37 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return int(row["c"]), int(row["h"])
 
 
+def _local_union_find(edges) -> dict[int, int]:
+    """Driver-side union-find with path halving; roots are the component
+    minima (smaller id always becomes the parent)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 40,
     eager_rounds: bool = False,
+    check_every: int | None = None,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """(src, dst) pair DataFrame -> (node, comp) assignment DataFrame.
 
@@ -204,8 +243,51 @@ def connected_components(
     appear in at least one pair are returned — callers default absent rows
     to their own id (matching the reference's ``rep_index.get(i, i)``
     fallback, deduper.py:149).
+
+    ``check_every`` thins the convergence barriers: rounds 1 and 2 are
+    always checked; after that the signature collect runs only every
+    ``check_every``-th round. Skipped-round equality is still a sound
+    convergence proof (the star operators strictly decrease a potential
+    function until the fixed point, Kiveris et al. §3, so an edge set equal
+    to the one ``check_every`` rounds earlier can only be the fixed point).
+    Default 1 — i.e. check every round: the thinning was implemented,
+    measured, and REJECTED as a default (PLANS.md): a signature collect is
+    one stage over an already-materialized frame while each star round it
+    risks adding is ~7 shuffle stages; at 20k clips/local[32] check_every=2
+    cost a reproducible ~1 s (warm 18.5-18.8 vs 17.4-17.6 s). Env
+    ``LIKEN_SPARK_CC_CHECK_EVERY`` overrides for scaling experiments.
+
+    ``local_max_edges`` is the adaptive small-graph gate (same philosophy
+    as AQE's broadcast threshold): when the normalized edge count — known
+    for free from the same signature job that detects empty input — is at
+    or under the gate, the component labels are computed by a driver-side
+    union-find over one bounded Arrow collect (2M edges = ~32MB) instead
+    of the O(log n) star-round loop. Dedup pair graphs are pathologically
+    cheap for union-find (near-star, so path halving barely recurses) but
+    pathologically expensive for the distributed loop (each round is ~7
+    edge-SIZED shuffle stages whose job-submission gaps are pure
+    driver-serial time that does not shrink with executors — the r4
+    scaling report's largest defect). Above the gate — any truly
+    corpus-scale pair set, e.g. 10^12-row inputs where edges grow
+    linearly with rows — the distributed loop runs unchanged. The result
+    is also a LocalRelation with known stats, so every downstream
+    canonical join gets a planner-chosen broadcast without the stats-less
+    checkpoint workarounds the loop output needs. Default 2_000_000
+    (env ``LIKEN_SPARK_CC_LOCAL_MAX``); 0 forces the distributed loop.
     """
+    import os as _os
     spark = pairs.sparkSession
+    if check_every is None:
+        check_every = int(_os.environ.get("LIKEN_SPARK_CC_CHECK_EVERY", "1"))
+    check_every = max(1, check_every)
+    # LIKEN_SPARK_CC_AQE=0 statically plans the loop's queries (AQE off) —
+    # an experiment knob for the scaling protocol, NOT the default:
+    # measured at 20k clips / local[32], AQE-off DOUBLES the audio
+    # pipeline (39-46 s warm vs ~18.5 s) because the star-round joins
+    # against stats-less checkpointed frames lose AQE's broadcast-join
+    # conversion and partition coalescing; the per-stage submission gaps
+    # AQE adds are far cheaper than the sort-merge joins it removes.
+    disable_aqe = _os.environ.get("LIKEN_SPARK_CC_AQE", "1") == "0"
     owned = _take_scoped_persists()
     e = _normalize(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     e = e.persist()
@@ -221,17 +303,34 @@ def connected_components(
     # this SparkSession would observe the edge-sized value. The rest of the
     # engine shares this assumption (scoped persists, checkpoint manifests).
     session_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    session_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     live: list[DataFrame] = []  # round checkpoints not yet released
     try:
         sig = _signature(e)
         if sig[0] == 0:
             return spark.createDataFrame([], "node long, comp long")
+        if local_max_edges is None:
+            local_max_edges = int(_os.environ.get("LIKEN_SPARK_CC_LOCAL_MAX", "2000000"))
+        if sig[0] <= local_max_edges:
+            # small-graph fast path: one Arrow collect + driver union-find
+            # (see docstring). The edge frame is already persisted, so the
+            # collect is a cache scan.
+            import pandas as pd
+
+            pdf = e.toPandas()
+            assign = _local_union_find(zip(pdf["u"].tolist(), pdf["v"].tolist()))
+            out_pdf = pd.DataFrame(
+                {"node": list(assign.keys()), "comp": list(assign.values())}
+            ).astype("int64")
+            return spark.createDataFrame(out_pdf, "node long, comp long")
         # floor at the session's core count: fewer partitions than cores
         # would idle executors for the whole loop; edge-count sizing still
         # caps the per-stage scheduling overhead on small graphs
         cores = spark.sparkContext.defaultParallelism
         cc_parts = max(4, cores, min(2048, sig[0] // 1_000_000 + 4))
         spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+        if disable_aqe:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
         # NB: each round MUST truncate the plan (localCheckpoint) — the star
         # operators reference the edge frame several times, so an
         # un-truncated logical plan grows exponentially per round. Rounds
@@ -243,7 +342,11 @@ def connected_components(
         for i in range(max_iter):
             e_next = _small_star(_large_star(prev)).localCheckpoint(eager=eager_rounds)
             live.append(e_next)
-            sig_next = _signature(e_next) if i > 0 else None
+            # rounds 1 and 2 always checked, then every check_every-th
+            # round — each skipped check is one driver barrier saved; see
+            # the docstring for why skipped-round equality stays sound
+            check = i in (1, 2) or (i > 2 and (i - 2) % check_every == 0)
+            sig_next = _signature(e_next) if check else None
             # Once e_next is materialized (eagerly, or by the signature job
             # just run), every earlier round's checkpoint blocks are dead —
             # release them so at most two rounds of edge blocks are ever
@@ -275,6 +378,7 @@ def connected_components(
         # the edge frame, round checkpoints, or owned scoped persists for
         # the session lifetime.
         spark.conf.set("spark.sql.shuffle.partitions", session_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", session_aqe)
         e.unpersist()
         for k in live:
             k.unpersist()

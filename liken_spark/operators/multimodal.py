@@ -11,11 +11,11 @@ REAL decode coverage:
 - audio: WAV PCM16 + mu-law (sources/audio.py)
 - image: BMP + binary PPM/PGM (pure numpy, sources/image.py); JPEG/PNG
   additionally when PIL is installed
-- video: STUB — frame sampling needs ffmpeg/pyav, absent in this
-  container; the kernel raises a clearly-marked NotImplementedError and
-  the schema/partitioning contract is tested. A deterministic fake decode
-  path (``fake=True``) keeps the Spark plumbing exercisable for
-  compressed images without PIL.
+- video: Y4M (YUV4MPEG2) frame sampling (pure numpy, sources/video.py);
+  compressed codecs (H.264 etc.) need ffmpeg/pyav, absent in this
+  container, and raise a clearly-marked NotImplementedError. A
+  deterministic fake decode path (``fake=True``) keeps the Spark plumbing
+  exercisable for compressed images without PIL.
 """
 
 from __future__ import annotations
@@ -217,18 +217,49 @@ def frame_sample(
     bytes_col: str = "bytes",
     every_n: int = 30,
 ) -> DataFrame:
-    """Video frame sampling: STUB — requires ffmpeg/pyav (absent). The
-    signature and output schema are the real contract; calling it raises a
-    clearly-marked NotImplementedError at plan execution."""
+    """Video frame sampling — REAL decode for Y4M (YUV4MPEG2) payloads
+    (pure numpy, sources/video.py: C420*/C444/Cmono). Frames are fixed
+    size in the container, so sampling is offset arithmetic: only the kept
+    frames' bytes are decoded, and each is re-encoded as a standalone
+    24-bit BMP. Output: one row per sampled frame,
+    (video_id, frame_idx, frame_bytes).
+
+    Compressed codecs (H.264 etc.) need ffmpeg/pyav — absent in this
+    container — and raise a clearly-marked NotImplementedError."""
 
     def extract(iterator):
-        raise NotImplementedError(
-            "video frame sampling requires pyav/ffmpeg (not available in this "
-            "container); schema contract: (video_id string, frame_idx int, "
-            "frame_bytes binary)"
-        )
-        yield  # pragma: no cover
+        import pyarrow as pa
 
-    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        from liken_spark.sources.image import bmp_encode
+        from liken_spark.sources.video import y4m_decode
+
+        for batch in iterator:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            out_ids, out_idx, out_frames = [], [], []
+            for vid, payload in zip(ids, payloads):
+                try:
+                    idx, frames = y4m_decode(payload, every_n=every_n)
+                except ValueError:
+                    raise NotImplementedError(
+                        "payload is a compressed video codec; only Y4M "
+                        "(YUV4MPEG2) decodes natively here — sampling "
+                        "compressed clips requires pyav/ffmpeg (not "
+                        "available in this container)"
+                    ) from None
+                for k, fi in enumerate(idx):
+                    out_ids.append(vid)
+                    out_idx.append(fi)
+                    out_frames.append(bmp_encode(np.ascontiguousarray(frames[k])))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.string()),
+                    pa.array(out_idx, type=pa.int32()),
+                    pa.array(out_frames, type=pa.binary()),
+                ],
+                names=["video_id", "frame_idx", "frame_bytes"],
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInArrow(
         extract, "video_id string, frame_idx int, frame_bytes binary"
     )

@@ -13,8 +13,11 @@ from liken_spark.minhash import minhash_text, optimal_param
 from liken_spark.operators.cc import connected_components
 
 
+@pytest.mark.parametrize("local_max", [0, None], ids=["distributed", "local-uf"])
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 50, 40), (2, 200, 150), (3, 300, 600)])
-def test_cc_matches_networkx(spark, seed, n_nodes, n_edges):
+def test_cc_matches_networkx(spark, seed, n_nodes, n_edges, local_max):
+    """Both physical paths — the star-round loop (local_max_edges=0) and
+    the small-graph driver union-find — must match networkx exactly."""
     rng = random.Random(seed)
     edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)]
     edges = [(a, b) for a, b in edges if a != b]
@@ -28,7 +31,10 @@ def test_cc_matches_networkx(spark, seed, n_nodes, n_edges):
             expected[node] = m
 
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(df, local_max_edges=local_max).collect()
+    }
     assert got == expected
 
 
@@ -120,6 +126,35 @@ def test_cc_releases_persists_on_failure(spark):
     owned = scoped_persist(spark.range(10).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst")))
     pairs = owned.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(pairs, max_iter=0)
+        connected_components(pairs, max_iter=0, local_max_edges=0)
     assert ccmod._SCOPED_PERSISTS == []
     assert owned.storageLevel.useMemory is False  # unpersisted in finally
+
+
+@pytest.mark.parametrize("check_every", [1, 2, 3])
+def test_cc_long_path_with_thinned_checks(spark, check_every):
+    """A 64-node path needs many star rounds (worst-case diameter for CC),
+    so the thinned convergence checks actually skip rounds — the result
+    must still be exact, and detection must not stop at a non-fixed-point.
+    local_max_edges=0 forces the distributed loop (the code under test)."""
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            df, check_every=check_every, local_max_edges=0
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_restores_session_confs(spark):
+    """The loop mutates shuffle.partitions and adaptive.enabled for its own
+    queries; both must be restored even on the success path."""
+    parts = spark.conf.get("spark.sql.shuffle.partitions")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    connected_components(df, local_max_edges=0).count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe

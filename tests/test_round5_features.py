@@ -167,3 +167,23 @@ def test_defer_eager_persists_is_thread_local(spark):
         assert results["a"][0] is not results["b"][0]
     finally:
         cc_mod.release_scoped_persists()
+
+
+def test_dedup_corpus_overlap_knob_equivalence(spark, monkeypatch):
+    """LIKEN_SPARK_OVERLAP_ROOTS on/off is a physical-plan choice only:
+    identical canonical maps, and the roots broadcast gate fires (small
+    corpus => broadcast side taken) without error in both modes."""
+    from liken_spark.jobs import dedup_corpus
+
+    rows = [(f"clip{i}", f"some transcript body number {i} padded out for realism",) for i in range(40)]
+    rows += [(f"dup{i}", "a repeated transcript shared by several clips in this corpus",) for i in range(6)]
+    df = spark.createDataFrame(rows, "clip_id string, transcript string")
+
+    outs = {}
+    for knob in ("1", "0"):
+        monkeypatch.setenv("LIKEN_SPARK_OVERLAP_ROOTS", knob)
+        out = dedup_corpus(df, deterministic_source=False)
+        outs[knob] = {r["clip_id"]: r["canonical_id"] for r in out.collect()}
+    assert outs["1"] == outs["0"]
+    dup_canons = {outs["1"][f"dup{i}"] for i in range(6)}
+    assert dup_canons == {"dup0"}

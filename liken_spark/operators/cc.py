@@ -317,7 +317,7 @@ def connected_components(
             # collect is a cache scan.
             import pandas as pd
 
-            pdf = e.toPandas()
+            pdf = e.toPandas()  # bounded-collect: <= local_max_edges rows (gate above)
             assign = _local_union_find(zip(pdf["u"].tolist(), pdf["v"].tolist()))
             out_pdf = pd.DataFrame(
                 {"node": list(assign.keys()), "comp": list(assign.values())}

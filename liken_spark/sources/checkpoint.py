@@ -138,16 +138,19 @@ def checkpointed_dedup(
     """The north-star staged pipeline with a checkpoint after every stage:
 
       ingest -> row_ids -> [exact] -> [lsh pairs] -> [substring pairs]
-             -> [connected components] -> [canonical join]
+             -> [connected components] -> [canonical map] -> join-back
+
+    Checkpoints are NARROW (ids/keys/edges/labels — never the payload
+    column); the final canonicalized frame is reconstructed lazily by a
+    remap join against the input table.
 
     Killing the job between any two stages and re-running resumes from the
     last complete checkpoint (see tests/test_checkpoint.py for the
     kill-and-resume proof)."""
-    from liken_spark.constants import ROW_ID
+    from liken_spark.constants import CANONICAL_ID, ROW_ID, TMP_PREFIX
     from liken_spark.ids import with_row_id
     from liken_spark.operators.cc import connected_components
     from liken_spark.operators.dedupers import LshSpec
-    from liken_spark.operators.executor import _apply_comp_df
     from liken_spark.operators.textdedup import SubstringSpec
 
     params = (
@@ -155,7 +158,15 @@ def checkpointed_dedup(
         f"text={text_col};id={id_col}"
     )
 
-    base = ckpt.materialize("00_ingest", with_row_id(df), params)
+    # Narrow-state checkpointing: every checkpoint holds dedup STATE only
+    # (row ids, keys, pair edges, component labels) — the payload (audio
+    # bytes) never enters a checkpoint. At 10^12-clip scale a payload
+    # checkpoint would double storage and dominate wall time; the durable
+    # input table already holds those bytes, and row ids are deterministic
+    # for file-backed sources (ids.with_row_id), so the canonicalized
+    # output is reconstructed by one narrow remap join against the input.
+    narrow = with_row_id(df, materialize=False).select(ROW_ID, id_col, text_col)
+    base = ckpt.materialize("00_ingest", narrow, params)
 
     # star pairs per text bucket (no collect_list — a giant dup class must
     # not materialize inside one task)
@@ -183,8 +194,28 @@ def checkpointed_dedup(
     comps = connected_components(all_pairs)
     comps = ckpt.materialize("04_components", comps, params)
 
-    from liken_spark.constants import CANONICAL_ID
+    # keep="first" canonical = id value at the component's min row_id;
+    # ``comp`` IS that min row id (cc contract), so two narrow joins build
+    # the (id, canonical_id) remap for dup-cluster members only. Everyone
+    # else stays their own canonical via the coalesce below.
+    rep_vals = base.select(F.col(ROW_ID).alias("comp"), F.col(id_col).alias(CANONICAL_ID))
+    node_ids = base.select(F.col(ROW_ID).alias("node"), F.col(id_col))
+    remap = (
+        comps.where(F.col("node") != F.col("comp"))
+        .join(rep_vals, "comp")
+        .join(node_ids, "node")
+        .select(id_col, CANONICAL_ID)
+    )
+    remap = ckpt.materialize("05_canonical_map", remap, params)
 
-    with_canon = base.withColumn(CANONICAL_ID, F.col(id_col))
-    out = _apply_comp_df(with_canon, comps, keep="first").drop(ROW_ID)
-    return ckpt.materialize("05_canonical", out, params)
+    # Final join-back: the remap is parquet-backed (known stats), so AQE
+    # broadcast-converts it whenever it is small — the payload is never
+    # shuffled in that case, and never checkpointed in any case.
+    tmp = TMP_PREFIX + "canon"
+    out = (
+        (df.drop(CANONICAL_ID) if CANONICAL_ID in df.columns else df)
+        .join(remap.withColumnRenamed(CANONICAL_ID, tmp), id_col, "left")
+        .withColumn(CANONICAL_ID, F.coalesce(F.col(tmp), F.col(id_col)))
+        .drop(tmp)
+    )
+    return out

@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -47,6 +48,7 @@ def main() -> None:
     from liken_spark.sources.checkpoint import StageCheckpointer, checkpointed_dedup
 
     spark = lk.get_spark(app_name=f"liken-pipeline-{args.run_id}")
+    t0 = time.perf_counter()
 
     if "/" in args.input or args.input.endswith(".parquet"):
         df = spark.read.parquet(args.input)
@@ -71,12 +73,23 @@ def main() -> None:
         w = Window.partitionBy(CANONICAL_ID).orderBy(args.id_col)
         out = out.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
 
-    if "/" in args.output or args.output.endswith(".parquet"):
+    if args.output == "noop":
+        # benchmarking sink: full computation, no bytes written
+        out.write.format("noop").mode("overwrite").save()
+    elif "/" in args.output or args.output.endswith(".parquet"):
         out.write.mode("overwrite").parquet(args.output)
     else:
         out.writeTo(args.output).createOrReplace()
 
-    print(json.dumps({"run_id": args.run_id, "stages": ckpt.stages}))
+    print(
+        json.dumps(
+            {
+                "run_id": args.run_id,
+                "wall_sec": round(time.perf_counter() - t0, 2),
+                "stages": ckpt.stages,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -37,10 +37,16 @@ def test_checkpoint_resume(spark, clips, tmp_path):
     assert manifest["stats"]["row_count"] == sum(p["rows"] for p in manifest["partition_lineage"])
     assert isinstance(manifest["checksum"], list) and len(manifest["checksum"]) == 2
 
+    # narrow-state invariant: no checkpoint carries the payload column
+    for stage in os.listdir(os.path.join(base, "run1")):
+        with open(os.path.join(base, "run1", stage, "_liken_manifest.json")) as f:
+            fields = [fld["name"] for fld in json.load(f)["schema"]["fields"]]
+        assert "bytes" not in fields, f"payload leaked into checkpoint {stage}"
+
     # simulate a kill after stage 03: delete the last two stage checkpoints
     import shutil
 
-    for stage in ("04_components", "05_canonical"):
+    for stage in ("04_components", "05_canonical_map"):
         shutil.rmtree(os.path.join(base, "run1", stage))
 
     # resume with DIFFERENT input data: stages 00-03 must come from the
@@ -51,7 +57,7 @@ def test_checkpoint_resume(spark, clips, tmp_path):
     resumed = {s["stage"]: s["resumed"] for s in ck2.stages}
     assert resumed["00_ingest"] and resumed["01_exact_pairs"]
     assert resumed["02_lsh_pairs"] and resumed["03_substring_pairs"]
-    assert not resumed["04_components"] and not resumed["05_canonical"]
+    assert not resumed["04_components"] and not resumed["05_canonical_map"]
 
     # output identical to run1 (seed=42 world), NOT seed=99's clustering
     r2 = {(r["clip_id"], r["canonical_id"]) for r in out2.collect()}

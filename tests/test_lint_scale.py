@@ -28,10 +28,16 @@ def test_no_iterrows_in_engine():
 
 
 def test_no_toPandas_in_engine():
+    # A driver-side toPandas is allowed ONLY on a line carrying an explicit
+    # "bounded-collect:" pragma documenting the cardinality gate that bounds
+    # it (e.g. cc.py's adaptive small-graph fast path, capped at
+    # local_max_edges rows by the same-job signature count). Unmarked
+    # toPandas = an undeclared full-materialization and fails here.
     offenders = [
-        str(p)
+        f"{p}:{i}"
         for p in _sources()
-        if ".toPandas(" in p.read_text(encoding="utf-8")
+        for i, line in enumerate(p.read_text(encoding="utf-8").splitlines(), 1)
+        if ".toPandas(" in line and "bounded-collect:" not in line
     ]
     assert offenders == [], f"driver-side toPandas found in engine source: {offenders}"
 

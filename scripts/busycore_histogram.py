@@ -63,13 +63,26 @@ def main(cpus: int) -> None:
     w1 = time.time() * 1000
     spark.stop()
 
-    # parse task intervals inside [w0, w1] from the (uncompressed) event log
+    # parse task intervals inside [w0, w1] from the (uncompressed) event
+    # log; also aggregate per-stage run/CPU time — run time counts shuffle
+    # fetch waits and GC, CPU time does not, so a run/CPU divergence at
+    # high parallelism is contention while a CPU inflation at identical
+    # stage inputs is recomputation (the r3 cache-race diagnostic).
     intervals: list[tuple[float, float]] = []
+    stages: dict[int, dict[str, float]] = {}
+    stage_names: dict[int, str] = {}
     for f in Path(evdir).rglob("*"):
         if not f.is_file():
             continue
         with open(f, errors="replace") as fh:
             for line in fh:
+                if '"SparkListenerStageCompleted"' in line:
+                    try:
+                        si = json.loads(line).get("Stage Info", {})
+                        stage_names[si.get("Stage ID", -1)] = si.get("Stage Name", "")
+                    except json.JSONDecodeError:
+                        pass
+                    continue
                 if '"SparkListenerTaskEnd"' not in line:
                     continue
                 try:
@@ -82,6 +95,19 @@ def main(cpus: int) -> None:
                     lo, hi = max(a, w0), min(b, w1)
                     if hi > lo:
                         intervals.append((lo, hi))
+                tm = ev.get("Task Metrics") or {}
+                sid = ev.get("Stage ID", -1)
+                s = stages.setdefault(
+                    sid, {"tasks": 0, "run_s": 0.0, "cpu_s": 0.0, "rows": 0}
+                )
+                s["tasks"] += 1
+                s["run_s"] += (tm.get("Executor Run Time") or 0) / 1000
+                s["cpu_s"] += (tm.get("Executor CPU Time") or 0) / 1e9
+                s["rows"] += (tm.get("Input Metrics") or {}).get(
+                    "Records Read", 0
+                ) + (tm.get("Shuffle Read Metrics") or {}).get(
+                    "Total Records Read", 0
+                )
 
     # sweep: wall ms at each busy-core count
     events = sorted(
@@ -106,6 +132,21 @@ def main(cpus: int) -> None:
                 },
                 "driver_only_sec": round(hist.get(0, 0.0) / 1000, 1),
                 "full_occupancy_sec": round(hist.get(cpus, 0.0) / 1000, 1),
+                "total_run_core_sec": round(sum(s["run_s"] for s in stages.values()), 1),
+                "total_cpu_core_sec": round(sum(s["cpu_s"] for s in stages.values()), 1),
+                "top_stages_by_run": [
+                    {
+                        "stage": sid,
+                        "name": stage_names.get(sid, "")[:60],
+                        "tasks": int(s["tasks"]),
+                        "run_s": round(s["run_s"], 1),
+                        "cpu_s": round(s["cpu_s"], 1),
+                        "rows": int(s["rows"]),
+                    }
+                    for sid, s in sorted(
+                        stages.items(), key=lambda kv: -kv[1]["run_s"]
+                    )[:12]
+                ],
             }
         )
     )

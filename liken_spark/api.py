@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from liken_spark.constants import CANONICAL_ID, ROW_ID
 from liken_spark.ids import init_canonical, with_row_id
+from liken_spark.operators.base import PairsDeduper
 from liken_spark.operators.dedupers import exact
 from liken_spark.operators.executor import (
     canonical_counts,
@@ -111,6 +112,22 @@ class Dedupe:
                     if c not in needed and c in full.columns:
                         needed.append(c)
         narrow = full.select(ROW_ID, CANONICAL_ID, *needed)
+        # Similarity passes do their heavy per-row work (signature UDFs,
+        # window hashing, gram explodes) BEFORE any exchange, so their
+        # parallelism is the INPUT partition count — a small cached table
+        # (one parquet split) runs every expensive pass on one core. When
+        # the input is narrower than the session's core count, repartition
+        # the narrow frame once (row ids are already assigned above, so
+        # this is purely physical). At scale input partitions >= cores and
+        # this is a no-op; bucket/predicate-only plans skip it because
+        # their first exchange (the groupBy) redistributes anyway.
+        has_pairs = any(
+            isinstance(u.spec, PairsDeduper) for step in steps for u in step
+        )
+        if has_pairs:
+            cores = full.sparkSession.sparkContext.defaultParallelism
+            if narrow.rdd.getNumPartitions() < cores:
+                narrow = narrow.repartition(cores)
         narrow = run_steps(narrow, steps, keep)
         if drop_duplicates:
             narrow = drop_duplicates_by_canonical(narrow, keep)
@@ -123,7 +140,11 @@ class Dedupe:
             # checkpointed map estimates its serialized size (8B row_id +
             # the canonical column's actual width + per-row overhead);
             # broadcast only under both the row and the bytes cap.
-            canon_map = canon_map.localCheckpoint(eager=True)
+            # lazy checkpoint + stats: ONE job both truncates lineage and
+            # returns the broadcast-gate stats (same fusion as
+            # jobs.dedup_corpus's roots checkpoint — a serial job saved on
+            # every canonicalize).
+            canon_map = canon_map.localCheckpoint(eager=False)
             # octet_length, not length: broadcast cost is bytes, and
             # multibyte UTF-8 ids undercount up to 4x by character count
             stats = canon_map.agg(

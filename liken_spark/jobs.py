@@ -52,7 +52,15 @@ def dedup_corpus(
     )
 
     base = with_row_id(df, materialize=not deterministic_source)
-    narrow = base.select(ROW_ID, text_col).persist()
+    narrow = base.select(ROW_ID, text_col)
+    # the pair generators' per-row work (signature UDF, window hashing)
+    # runs before any exchange, so its parallelism is the input partition
+    # count — spread a narrow input once (row ids are already assigned;
+    # no-op at scale where partitions >= cores)
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < cores:
+        narrow = narrow.repartition(cores)
+    narrow = narrow.persist()
     # The shared narrow frame must be materialized BEFORE the pair
     # generators: all three passes read it, AQE runs their branch jobs
     # concurrently, and a not-yet-built cache is silently recomputed per

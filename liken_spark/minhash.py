@@ -138,16 +138,21 @@ def band_hashes(signature: np.ndarray, b: int, r: int) -> np.ndarray:
 
 def simhash64(tokens: list[bytes]) -> int:
     """64-bit SimHash over token hashes (Charikar 2002). Deterministic:
-    token hash = first 8 bytes of blake2b."""
+    token hash = first 8 bytes of blake2b.
+
+    Vectorized bit-exactly over the whole token list (one unpackbits +
+    column sum instead of a 64-element numpy pass per token — measured
+    ~10x on 80-token documents; the golden signature tests pin equality
+    with the original per-token formulation)."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = int.from_bytes(hashlib.blake2b(t, digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out.astype(np.int64))
+    blake = hashlib.blake2b
+    buf = b"".join(blake(t, digest_size=8).digest() for t in tokens)
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    # acc[i] = (#ones - #zeros) at bit i; set the output bit where acc > 0
+    acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(tokens)
+    out_bits = (acc > 0).astype(np.uint8)
+    val = int.from_bytes(np.packbits(out_bits, bitorder="little").tobytes(), "little")
+    return int(np.uint64(val).astype(np.int64))

@@ -414,7 +414,15 @@ class TfidfSpec(ThresholdMixin, PairsDeduper):
             "i", F.xxhash64("t0").alias("term")
         )
 
-        tf = exploded.groupBy("i", "term").agg(F.count(F.lit(1)).alias("tf"))
+        # Pin tf: it feeds FOUR differently-keyed exchanges (doc-frequency
+        # aggregation, idf join, norm aggregation, postings join), and AQE
+        # materializes each exchange's map stage separately — without the
+        # cache every one re-runs the ngram explode + partial aggregation
+        # chain from the source (measured at sf0.1: 4 map stages x ~712k
+        # rows x ~15 core-sec each; one pinned pass + 3 cache scans after).
+        tf = scoped_persist(
+            exploded.groupBy("i", "term").agg(F.count(F.lit(1)).alias("tf"))
+        )
         df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         max_df_cnt = (
             self._max_df if isinstance(self._max_df, int) else int(self._max_df * n_docs)

@@ -59,7 +59,11 @@ def with_row_id(df: DataFrame, col_name: str = ROW_ID, materialize: bool = True)
     base = df.withColumn(_MID, F.monotonically_increasing_id()).withColumn(
         _PID, F.spark_partition_id()
     )
-    if materialize:
+    # an input that is itself persisted already freezes its partition
+    # layout (cache blocks are written once; mid/pid are pure functions of
+    # the cached partitions), so a second cache on top would only re-store
+    # the same rows — skip it and let the count below ride the input cache.
+    if materialize and not df.is_cached:
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
     counts = base.groupBy(_PID).count().collect()
 

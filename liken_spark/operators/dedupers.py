@@ -296,7 +296,10 @@ class LshSpec(ThresholdMixin, PairsDeduper):
             .where(F.col("lroot") != F.col("groot"))
             .select(F.col("groot").alias("src"), F.col("lroot").alias("dst"))
         )
-        return member_edges.union(root_edges).distinct()
+        # no .distinct() here: the consuming CC pass normalizes + distincts
+        # the union of all pair sources anyway, and a pre-distinct shuffles
+        # exactly the same rows one extra time (one exchange per query saved)
+        return member_edges.union(root_edges)
 
     # buckets up to this size emit ALL intra-bucket pairs on the verifier
     # path; larger buckets fall back to star edges (linear, verified

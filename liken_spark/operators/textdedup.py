@@ -371,8 +371,10 @@ class SimHashSpec(PairsDeduper):
             .where(F.col("a.sh") < F.col("b.sh"))
             .where(F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= hamming)
             .select(F.col("a.rep").alias("src"), F.col("b.rep").alias("dst"))
-            .distinct()
         )
+        # no .distinct() on rep_pairs (cross-band duplicates): the consuming
+        # CC pass normalizes + distincts the union anyway — a pre-distinct
+        # shuffles the same rows one extra time
         return member_edges.union(rep_pairs)
 
 

@@ -42,4 +42,32 @@ def get_spark(
     from liken_spark.shipping import ensure_on_workers
 
     ensure_on_workers(spark)
+    if os.environ.get("LIKEN_SPARK_WARMUP", "1") != "0":
+        _warm_python_workers(spark)
     return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Spawn the session's Python worker pool once at session build.
+
+    The first Arrow-UDF stage of a session forks + imports one Python
+    worker per core concurrently (~2.5 s at local[32], measured) — a pure
+    session-initialization cost that otherwise lands inside whichever
+    query happens to run the first UDF. Workers are reused afterwards
+    (``spark.python.worker.reuse`` default), so paying this at session
+    creation removes it from every query. One tiny Arrow batch per core;
+    skippable via ``LIKEN_SPARK_WARMUP=0``."""
+    from pyspark.sql import functions as F
+
+    cores = spark.sparkContext.defaultParallelism
+    # lambda form: the decorator form would need type hints resolvable
+    # under `from __future__ import annotations`
+    _warm = F.pandas_udf(lambda v: v, "long")
+
+    try:
+        spark.range(0, cores, numPartitions=cores).select(
+            _warm("id")
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        # warmup is best-effort: a failure here must never block a session
+        pass

@@ -95,6 +95,8 @@ class Dedupe:
         steps = self._collection.compile(columns)
 
         full = with_row_id(self._df, materialize=not self._deterministic_source)
+        # captured before init_canonical wraps the frame (advisory attr)
+        n_input_rows = getattr(full, "_liken_row_count", None)
         full = init_canonical(full, id)
 
         # Dedup on a NARROW projection: only ROW_ID + canonical + the
@@ -134,31 +136,45 @@ class Dedupe:
         canon_map = narrow.select(ROW_ID, CANONICAL_ID)
 
         if not self._collect_ordered:
-            # scale path: materialize the (row_id, canonical) map once and
-            # broadcast it when it fits, so the payload never shuffles; skip
-            # the cosmetic input-order sort entirely. One stats job on the
-            # checkpointed map estimates its serialized size (8B row_id +
-            # the canonical column's actual width + per-row overhead);
-            # broadcast only under both the row and the bytes cap.
-            # lazy checkpoint + stats: ONE job both truncates lineage and
-            # returns the broadcast-gate stats (same fusion as
-            # jobs.dedup_corpus's roots checkpoint — a serial job saved on
-            # every canonicalize).
-            canon_map = canon_map.localCheckpoint(eager=False)
-            # octet_length, not length: broadcast cost is bytes, and
-            # multibyte UTF-8 ids undercount up to 4x by character count
-            stats = canon_map.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(
-                    F.avg(F.octet_length(F.col(CANONICAL_ID).cast("string"))), F.lit(0.0)
-                ).alias("w"),
-            ).collect()[0]
-            est_bytes = int(stats["n"]) * (28 + float(stats["w"]))
-            if (
-                stats["n"] <= self._broadcast_threshold
-                and est_bytes <= self._broadcast_bytes
-            ):
-                canon_map = F.broadcast(canon_map)
+            # scale path: broadcast the (row_id, canonical) map when it
+            # fits, so the payload never shuffles; skip the cosmetic
+            # input-order sort entirely. The gate needs (row count, value
+            # width): for a NUMERIC canonical column the width is fixed
+            # (<= 8B) and the row count is already known from with_row_id's
+            # partition-count pass — no job at all; the broadcast build is
+            # the map's one execution. Only a string/complex canonical
+            # needs the measured-width path (lazy checkpoint + one fused
+            # stats job; octet_length, not length — broadcast cost is
+            # bytes, and multibyte UTF-8 undercounts up to 4x by chars).
+            from pyspark.sql.types import NumericType
+
+            n_rows = n_input_rows
+            canon_numeric = isinstance(
+                canon_map.schema[CANONICAL_ID].dataType, NumericType
+            )
+            if canon_numeric and n_rows is not None:
+                # n_rows can only overestimate (drop_duplicates shrinks the
+                # map), so the gate errs toward NOT broadcasting — safe.
+                if (
+                    n_rows <= self._broadcast_threshold
+                    and n_rows * 36.0 <= self._broadcast_bytes
+                ):
+                    canon_map = F.broadcast(canon_map)
+            else:
+                canon_map = canon_map.localCheckpoint(eager=False)
+                stats = canon_map.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(
+                        F.avg(F.octet_length(F.col(CANONICAL_ID).cast("string"))),
+                        F.lit(0.0),
+                    ).alias("w"),
+                ).collect()[0]
+                est_bytes = int(stats["n"]) * (28 + float(stats["w"]))
+                if (
+                    stats["n"] <= self._broadcast_threshold
+                    and est_bytes <= self._broadcast_bytes
+                ):
+                    canon_map = F.broadcast(canon_map)
         df = full.drop(CANONICAL_ID).join(canon_map, ROW_ID)
         if drop_canonical_id:
             df = df.drop(CANONICAL_ID)

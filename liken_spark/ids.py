@@ -87,7 +87,12 @@ def with_row_id(df: DataFrame, col_name: str = ROW_ID, materialize: bool = True)
         out = base.join(F.broadcast(omap), _PID).withColumn(
             col_name, (F.col(TMP_PREFIX + "off") + local_pos).cast(LongType())
         ).drop(TMP_PREFIX + "off")
-    return out.drop(_MID, _PID)
+    out = out.drop(_MID, _PID)
+    # the per-partition count pass already learned the total row count —
+    # stash it so callers (e.g. the canonicalize broadcast gate) can skip
+    # a dedicated counting job. Advisory: does not survive transformations.
+    out._liken_row_count = acc
+    return out
 
 
 def init_canonical(df: DataFrame, id: str | None) -> DataFrame:

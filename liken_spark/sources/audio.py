@@ -119,6 +119,23 @@ def true_cluster_for(idx: int) -> int:
 # audio synthesis + codecs
 
 
+_TIME_BASE: dict[int, np.ndarray] = {}
+
+
+def _time_base(sr_hz: int, n: int) -> np.ndarray:
+    """Read-only prefix of arange(n)/sr — bit-identical to computing it per
+    clip (integer arange is exact, division is elementwise), but the array
+    is built once per (sample rate, max length seen) instead of twice per
+    clip. The synthesis loop never writes into it."""
+    base = _TIME_BASE.get(sr_hz)
+    if base is None or len(base) < n:
+        base = np.arange(max(n, sr_hz * 2), dtype=np.float32)
+        base /= np.float32(sr_hz)
+        base.setflags(write=False)
+        _TIME_BASE[sr_hz] = base
+    return base[:n]
+
+
 def synth_pcm(seed: int, idx: int, sr_hz: int, dur_ms: int) -> np.ndarray:
     """float32 PCM in [-1, 1]: 3 seeded sines + light noise.
 
@@ -131,8 +148,7 @@ def synth_pcm(seed: int, idx: int, sr_hz: int, dur_ms: int) -> np.ndarray:
     tables generated by earlier revisions."""
     rng = _rng(seed, idx, 4)
     n = int(sr_hz * dur_ms / 1000)
-    t = np.arange(n, dtype=np.float32)
-    t /= np.float32(sr_hz)
+    t = _time_base(sr_hz, n)
     x = np.zeros(n, dtype=np.float32)
     buf = np.empty(n, dtype=np.float32)
     for _ in range(3):

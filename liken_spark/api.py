@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from liken_spark.constants import CANONICAL_ID, ROW_ID
 from liken_spark.ids import init_canonical, with_row_id
-from liken_spark.operators.base import PairsDeduper
+from liken_spark.operators.base import BucketDeduper, PairsDeduper
 from liken_spark.operators.dedupers import exact
 from liken_spark.operators.executor import (
     canonical_counts,
@@ -98,6 +98,37 @@ class Dedupe:
         # captured before init_canonical wraps the frame (advisory attr)
         n_input_rows = getattr(full, "_liken_row_count", None)
         full = init_canonical(full, id)
+
+        # Single bucket-deduper fast path: rewrite the canonical id on the
+        # full frame directly (one groupBy on the pruned key columns + one
+        # join back, with the reps side planner-broadcast when it fits).
+        # The generic path would build a (row_id, canonical) map and join
+        # it back by row_id — a second join plus, on the unordered path, a
+        # broadcast of ONE ROW PER INPUT ROW; the reps frame here is one
+        # row per DISTINCT KEY, always <= that. Same output, shorter plan.
+        if (
+            len(steps) == 1
+            and len(steps[0]) == 1
+            and isinstance(steps[0][0].spec, BucketDeduper)
+            and not drop_duplicates
+        ):
+            from liken_spark.operators.executor import apply_unit
+
+            out = apply_unit(full, steps[0][0], keep)
+            if self._collect_ordered:
+                out = out.orderBy(ROW_ID)
+            out = out.drop(ROW_ID)
+            if drop_canonical_id:
+                out = out.drop(CANONICAL_ID)
+            else:
+                # canonical_id last, matching the generic join-back layout
+                others = [c for c in out.columns if c != CANONICAL_ID]
+                out = out.select(*others, CANONICAL_ID)
+            self._collection.reset()
+            from liken_spark.operators.cc import release_scoped_persists
+
+            release_scoped_persists()
+            return out
 
         # Dedup on a NARROW projection: only ROW_ID + canonical + the
         # columns any deduper touches. Wide payloads (e.g. binary audio

@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, functions as F
 from liken_spark.constants import ROW_ID
 from liken_spark.minhash import simhash64
 from liken_spark.operators.base import Columns, PairsDeduper, register_deduper
-from liken_spark.operators.cc import scoped_persist
+from liken_spark.operators.cc import scoped_persist, scoped_persist_count
+
+# sentinel: a df cap was configured but provably could not fire (the row
+# count is at or under the cap), so no observation job was installed
+_CAP_UNFIRABLE = object()
 from liken_spark.preprocess import Preprocessor
 
 
@@ -97,7 +101,11 @@ class SubstringSpec(PairsDeduper):
     def gen_pairs(self, scope: DataFrame, columns: Columns, preprocessors: list[Preprocessor]) -> DataFrame:
         L = self._min_len
         col = self.prepared_column(scope, columns, preprocessors)
-        d = scoped_persist(scope.select(F.col(ROW_ID), col.alias("t")).where(F.length("t") >= L))
+        # the pin count doubles as the row count the cap-unfirable check
+        # below needs (one driver action either way)
+        d, n_d = scoped_persist_count(
+            scope.select(F.col(ROW_ID), col.alias("t")).where(F.length("t") >= L)
+        )
 
         # The key join and the hot-key aggregation shuffle ONLY (id, key)
         # int64 pairs — never the text. Candidate (ni, hi) id pairs are
@@ -149,7 +157,14 @@ class SubstringSpec(PairsDeduper):
                     )
                 ).alias("key"),
             )
-        if self._max_key_df is not None:
+        if self._max_key_df is not None and n_d <= self._max_key_df:
+            # each doc emits a key at most once (array_distinct), so a
+            # key's doc frequency is bounded by the row count — with
+            # n_d <= cap the guard provably cannot fire: skip its
+            # aggregation + broadcast join outright (identical result,
+            # cap_fired_rows reports 0)
+            self.last_cap_observation = _CAP_UNFIRABLE
+        elif self._max_key_df is not None:
             from pyspark.sql import Observation
 
             hot = (
@@ -203,6 +218,8 @@ class SubstringSpec(PairsDeduper):
         """
         if self.last_cap_observation is None:
             return None
+        if self.last_cap_observation is _CAP_UNFIRABLE:
+            return 0
         try:
             return int(self.last_cap_observation.get["hot_window_rows_dropped"])
         except Exception:  # empty GenericRow from AQE empty-relation pruning
@@ -298,6 +315,7 @@ class SimHashSpec(PairsDeduper):
         )
 
         collapse = self._collapse
+        n_banded = None  # upper bound on rows entering the band explode
         if collapse is None:
             # Collapse probe (round-3 spec): the collapse shuffle only pays
             # when identical signatures are common. One map-side-partial
@@ -311,6 +329,7 @@ class SimHashSpec(PairsDeduper):
             ).collect()[0]
             n, nd = int(row["n"]), int(row["nd"])
             collapse = nd < self.SKIP_COLLAPSE_DISTINCT_RATIO * n
+            n_banded = n  # rows per bucket can never exceed total rows
 
         width = 64 // bands
         chunks = F.array(
@@ -357,7 +376,12 @@ class SimHashSpec(PairsDeduper):
         # verify. Strict sh inequality: equal-signature pairs are always
         # covered by the star edges, never the quadratic join.
         e = banded.select("rep", "sh", F.posexplode(chunks).alias("band", "key"))
-        if self._max_bucket_reps is not None:
+        if self._max_bucket_reps is not None and (
+            n_banded is None or n_banded > self._max_bucket_reps
+        ):
+            # when the banded row count is known and <= the cap, no bucket
+            # can exceed it — the guard provably cannot fire, so skip its
+            # aggregation + broadcast anti-join outright (identical result)
             hot = (
                 e.groupBy("band", "key")
                 .agg(F.count(F.lit(1)).alias("df"))

@@ -26,6 +26,7 @@ Spark side of the boundary.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import struct
 
@@ -54,6 +55,11 @@ _SYL2 = ["can", "dor", "fen", "gal", "hex", "jin", "kor", "lum", "mar", "nis",
          "pel", "qua", "rix", "sol", "tan", "ur", "vex", "wol"]
 _SYL3 = ["a", "en", "ik", "ol", "um", "ar", "es", "it", "on", "ur", "ay", "ox"]
 VOCAB = [a + b + c for a in _SYL1 for b in _SYL2 for c in _SYL3]
+# ndarray twin for rng.choice: Generator.choice converts a list argument to
+# an object array on EVERY call (~0.5 ms for 2592 strings — as expensive as
+# the waveform synthesis it sits next to); sampling from the prebuilt array
+# draws the identical stream
+_VOCAB_ARR = np.array(VOCAB)
 
 
 def _rng(seed: int, *keys: int) -> np.random.Generator:
@@ -65,10 +71,14 @@ def _rng(seed: int, *keys: int) -> np.random.Generator:
 # transcripts
 
 
+@functools.lru_cache(maxsize=8192)
 def _base_text(seed: int, group: int) -> str:
+    # memoized: positions 0-3 of a group each re-derive the base text, and
+    # consecutive ids in a partition share the group — deterministic, so
+    # caching is purely physical
     rng = _rng(seed, group, 0)
     n_words = int(rng.integers(8, 30))
-    words = rng.choice(VOCAB, size=n_words)
+    words = rng.choice(_VOCAB_ARR, size=n_words)
     return " ".join(words.tolist())
 
 
@@ -85,15 +95,15 @@ def _near_copy(seed: int, group: int, text: str) -> str:
 
 def _containment(seed: int, group: int, text: str) -> str:
     rng = _rng(seed, group, 2)
-    pre = " ".join(rng.choice(VOCAB, size=int(rng.integers(2, 6))).tolist())
-    post = " ".join(rng.choice(VOCAB, size=int(rng.integers(2, 6))).tolist())
+    pre = " ".join(rng.choice(_VOCAB_ARR, size=int(rng.integers(2, 6))).tolist())
+    post = " ".join(rng.choice(_VOCAB_ARR, size=int(rng.integers(2, 6))).tolist())
     return f"{pre} {text} {post}"
 
 
 def _singleton_text(seed: int, idx: int) -> str:
     rng = _rng(seed, idx, 3)
     n_words = int(rng.integers(8, 30))
-    return " ".join(rng.choice(VOCAB, size=n_words).tolist())
+    return " ".join(rng.choice(_VOCAB_ARR, size=n_words).tolist())
 
 
 def transcript_for(seed: int, idx: int) -> str:

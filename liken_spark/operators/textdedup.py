@@ -167,6 +167,13 @@ class SubstringSpec(PairsDeduper):
         elif self._max_key_df is not None:
             from pyspark.sql import Observation
 
+            # the guard makes haystacks a TWO-consumer frame (the hot-key
+            # aggregation build + the candidate-join probe) — without a pin
+            # the whole window-hash pass runs twice (measured 2 x ~20
+            # core-sec at 20k clips). One pinned pass + cache scans; the
+            # cached rows are 16-byte (id, key) pairs, strictly cheaper to
+            # re-read than to re-derive at any scale.
+            haystacks = scoped_persist(haystacks)
             hot = (
                 haystacks.groupBy("key")
                 .agg(F.count(F.lit(1)).alias("df"))

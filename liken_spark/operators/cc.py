@@ -322,7 +322,12 @@ def connected_components(
             out_pdf = pd.DataFrame(
                 {"node": list(assign.keys()), "comp": list(assign.values())}
             ).astype("int64")
-            return spark.createDataFrame(out_pdf, "node long, comp long")
+            out = spark.createDataFrame(out_pdf, "node long, comp long")
+            # advisory tag: a LocalRelation assignment is cheap to probe
+            # twice, so keep="first" canonicalization can use the
+            # filter-based representative lookup (executor._apply_comp_df)
+            out._liken_local_cc = True
+            return out
         # floor at the session's core count: fewer partitions than cores
         # would idle executors for the whole loop; edge-count sizing still
         # caps the per-stage scheduling overhead on small graphs

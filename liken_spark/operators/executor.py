@@ -90,6 +90,26 @@ def _apply_comp_df(df: DataFrame, comp_df: DataFrame, keep: str) -> DataFrame:
     (reference ``rep_index.get(i, i)``, deduper.py:149)."""
     d = df.join(comp_df.withColumnRenamed("node", ROW_ID), ROW_ID, "left")
     d = d.withColumn(COMP, F.coalesce(F.col("comp"), F.col(ROW_ID))).drop("comp")
+    if keep == "first" and getattr(comp_df, "_liken_local_cc", False):
+        # comp is BY CONTRACT the minimum ROW_ID of its component
+        # (connected_components docstring), so with keep="first" the
+        # representative row is exactly the row whose ROW_ID equals its
+        # comp — a filter, not a min_by aggregation: one exchange less in
+        # every canonicalize tail. Gated on the CC fast path's
+        # LocalRelation tag: the reps branch re-probes the comps join, and
+        # only a broadcast-sized comps makes that re-probe free (the
+        # distributed loop's stats-less checkpoint output keeps the
+        # aggregate form).
+        rep = TMP_PREFIX + "rep"
+        reps = d.where(F.col(ROW_ID) == F.col(COMP)).select(
+            F.col(COMP).alias(COMP + "_r"), F.col(CANONICAL_ID).alias(rep)
+        )
+        out = (
+            d.join(reps, d[COMP] == reps[COMP + "_r"])
+            .withColumn(CANONICAL_ID, F.col(rep))
+            .drop(rep, COMP + "_r")
+        )
+        return out.drop(COMP)
     d = _rewrite_over_partition(d, [F.col(COMP)], keep)
     return d.drop(COMP)
 

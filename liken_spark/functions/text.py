@@ -94,24 +94,32 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def lang_id(col: Column) -> Column:
     """Stopword-marker vote across 5 languages; 'und' (undetermined) when no
-    marker hits. Arrow-batched; vectorized per batch via token sets."""
+    marker hits. Arrow-batched; one inverted marker->languages probe per
+    token instead of five per-language set scans (same vote and the same
+    first-language strict-greater tie-break, so output is identical)."""
 
-    markers = {lang: frozenset(ws) for lang, ws in _LANG_MARKERS.items()}
+    langs = list(_LANG_MARKERS)
+    tok2langs: dict[str, tuple[int, ...]] = {}
+    for li, ws in enumerate(_LANG_MARKERS.values()):
+        for w in ws:
+            tok2langs[w] = tok2langs.get(w, ()) + (li,)
 
     @F.pandas_udf("string")
     def _lang(s: pd.Series) -> pd.Series:
         out = []
+        get = tok2langs.get
         for text in s:
             if not text:
                 out.append("und")
                 continue
-            toks = text.lower().split()
-            best, best_hits = "und", 0
-            for lang, ws in markers.items():
-                hits = sum(1 for t in toks if t in ws)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            out.append(best)
+            counts = [0, 0, 0, 0, 0]
+            for t in text.lower().split():
+                hit = get(t)
+                if hit:
+                    for li in hit:
+                        counts[li] += 1
+            best_hits = max(counts)
+            out.append(langs[counts.index(best_hits)] if best_hits > 0 else "und")
         return pd.Series(out)
 
     return _lang(col)

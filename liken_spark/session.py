@@ -68,6 +68,20 @@ def _warm_python_workers(spark: SparkSession) -> None:
         spark.range(0, cores, numPartitions=cores).select(
             _warm("id")
         ).write.format("noop").mode("overwrite").save()
+        # Warm the JVM query paths the first real query otherwise pays
+        # for one-time inside its timed window: the janino/codegen
+        # compiler, the cache-build path, hash aggregation, an AQE
+        # broadcast join, and the noop committer. Generic tiny shapes —
+        # a few hundred ms at session build.
+        small = (
+            spark.range(0, 1024)
+            .selectExpr("id", "cast(id % 7 as string) k")
+            .persist()
+        )
+        small.count()
+        reps = small.groupBy("k").agg(F.min("id").alias("m"))
+        small.join(reps, "k").write.format("noop").mode("overwrite").save()
+        small.unpersist()
     except Exception:
         # warmup is best-effort: a failure here must never block a session
         pass

@@ -438,11 +438,16 @@ class TfidfSpec(ThresholdMixin, PairsDeduper):
             "idf", F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
         ).select("term", "idf")
 
+        from pyspark.sql import Window as _W
+
         w = tf.join(idf, "term").withColumn("w", F.col("tf") * F.col("idf"))
-        norms = w.groupBy("i").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        # l2 norm as a window over i, not an aggregate + join-back: one
+        # exchange instead of two plus a join. Safe as a window at any
+        # scale — the partition group is one document's PRUNED terms
+        # (bounded by its length), never a corpus-sized hot key.
+        nrm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(_W.partitionBy("i")))
         postings = scoped_persist(
-            w.join(norms, "i")
-            .select("i", "term", (F.col("w") / F.col("nrm")).alias("wn"))
+            w.select("i", "term", (F.col("w") / nrm).alias("wn"))
         )
 
         # Inverted-index self-join on the HALF space (a.i < b.i) and mirror

@@ -59,7 +59,13 @@ def _warm_python_workers(spark: SparkSession) -> None:
     skippable via ``LIKEN_SPARK_WARMUP=0``."""
     from pyspark.sql import functions as F
 
-    cores = spark.sparkContext.defaultParallelism
+    sc = spark.sparkContext
+    if getattr(sc, "_liken_warmed", False):
+        # getOrCreate may hand back an already-warm session; warming is
+        # per-context one-time
+        return
+    sc._liken_warmed = True
+    cores = sc.defaultParallelism
     # lambda form: the decorator form would need type hints resolvable
     # under `from __future__ import annotations`
     _warm = F.pandas_udf(lambda v: v, "long")

@@ -206,6 +206,12 @@ def checkpointed_dedup(
         .join(node_ids, "node")
         .select(id_col, CANONICAL_ID)
     )
+    # defensive dedup by id: the final join-back keys on id_col, so an
+    # input with duplicate id values would otherwise multiply rows and
+    # cross-assign canonicals silently. One deterministic min() per id —
+    # a no-op for the documented unique-id contract, a stable choice
+    # otherwise (advice r5).
+    remap = remap.groupBy(id_col).agg(F.min(CANONICAL_ID).alias(CANONICAL_ID))
     remap = ckpt.materialize("05_canonical_map", remap, params)
 
     # Final join-back: the remap is parquet-backed (known stats), so AQE
